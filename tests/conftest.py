@@ -7,12 +7,20 @@ dry-runs the multi-chip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
+os.environ.setdefault("HF_HUB_OFFLINE", "1")        # zero-egress environment
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# A sitecustomize hook may have force-registered the TPU backend before this
+# conftest ran; the config update re-pins tests to the virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

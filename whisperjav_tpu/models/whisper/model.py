@@ -1,0 +1,306 @@
+"""Whisper encoder-decoder in pure functional JAX.
+
+Replaces the reference's CTranslate2/torch inference engines
+(reference: whisperjav/modules/faster_whisper_pro_asr.py:31,
+whisperjav/modules/whisper_pro_asr.py:29) with a TPU-first design:
+
+- parameters are a plain pytree with **per-layer leaves stacked on a
+  leading axis**, so all transformer blocks run under one ``lax.scan``
+  (one traced block regardless of depth — fast compiles for 32-layer
+  encoders, friendly to pjit sharding rules);
+- matmuls accumulate in float32 via ``preferred_element_type`` while
+  weights/activations default to bfloat16 on TPU;
+- decoding uses a fixed-shape KV cache updated functionally inside the
+  scan (no dynamic shapes anywhere), with cross-attention K/V precomputed
+  once per audio segment.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperjav_tpu.models.whisper.config import WhisperConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               eps: float = 1e-5) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              bias: Optional[jax.Array] = None) -> jax.Array:
+    """Multi-head attention core. q,k,v: (B, T, H, hd); bias: (1|B,1,Tq,Tk)."""
+    hd = q.shape[-1]
+    scale = hd ** -0.25
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def sinusoid_positions(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed sinusoidal encoder positions (host-side constant)."""
+    assert channels % 2 == 0
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# parameter init
+# ---------------------------------------------------------------------------
+
+def _init_block_stack(key, n_layer, d, cross: bool, dtype) -> Params:
+    ks = jax.random.split(key, 16)
+    s = d ** -0.5
+    mlp = 4 * d
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape) * s).astype(dtype)
+
+    p = {
+        "ln1_s": jnp.ones((n_layer, d), dtype), "ln1_b": jnp.zeros((n_layer, d), dtype),
+        "wq": w(ks[0], (n_layer, d, d)), "bq": jnp.zeros((n_layer, d), dtype),
+        "wk": w(ks[1], (n_layer, d, d)),
+        "wv": w(ks[2], (n_layer, d, d)), "bv": jnp.zeros((n_layer, d), dtype),
+        "wo": w(ks[3], (n_layer, d, d)), "bo": jnp.zeros((n_layer, d), dtype),
+        "ln2_s": jnp.ones((n_layer, d), dtype), "ln2_b": jnp.zeros((n_layer, d), dtype),
+        "w1": w(ks[4], (n_layer, d, mlp)), "b1": jnp.zeros((n_layer, mlp), dtype),
+        "w2": w(ks[5], (n_layer, mlp, d)), "b2": jnp.zeros((n_layer, d), dtype),
+    }
+    if cross:
+        p.update({
+            "lnx_s": jnp.ones((n_layer, d), dtype), "lnx_b": jnp.zeros((n_layer, d), dtype),
+            "cwq": w(ks[6], (n_layer, d, d)), "cbq": jnp.zeros((n_layer, d), dtype),
+            "cwk": w(ks[7], (n_layer, d, d)),
+            "cwv": w(ks[8], (n_layer, d, d)), "cbv": jnp.zeros((n_layer, d), dtype),
+            "cwo": w(ks[9], (n_layer, d, d)), "cbo": jnp.zeros((n_layer, d), dtype),
+        })
+    return p
+
+
+def init_params(config: WhisperConfig, key: jax.Array,
+                dtype=jnp.float32) -> Params:
+    ke, kd, k1, k2, k3 = jax.random.split(key, 5)
+    d = config.n_audio_state
+    s = d ** -0.5
+    return {
+        "encoder": {
+            "conv1_w": (jax.random.normal(k1, (d, config.n_mels, 3)) * s).astype(dtype),
+            "conv1_b": jnp.zeros((d,), dtype),
+            "conv2_w": (jax.random.normal(k2, (d, d, 3)) * s).astype(dtype),
+            "conv2_b": jnp.zeros((d,), dtype),
+            "pos": jnp.asarray(sinusoid_positions(config.n_audio_ctx, d), dtype),
+            "blocks": _init_block_stack(ke, config.n_audio_layer, d, False, dtype),
+            "ln_s": jnp.ones((d,), dtype), "ln_b": jnp.zeros((d,), dtype),
+        },
+        "decoder": {
+            "tok_emb": (jax.random.normal(k3, (config.n_vocab, d)) * s).astype(dtype),
+            "pos_emb": jnp.zeros((config.n_text_ctx, d), dtype),
+            "blocks": _init_block_stack(kd, config.n_text_layer, d, True, dtype),
+            "ln_s": jnp.ones((d,), dtype), "ln_b": jnp.zeros((d,), dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
+    # x (B, C, T), w (O, I, K) — torch layout kept for easy checkpoint import
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride,), padding=((1, 1),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + b.astype(jnp.float32)[None, :, None]).astype(x.dtype)
+
+
+def _encoder_block(x: jax.Array, p: Params, n_head: int) -> jax.Array:
+    h = layer_norm(x, p["ln1_s"], p["ln1_b"])
+    q = _split_heads(dense(h, p["wq"], p["bq"]), n_head)
+    k = _split_heads(dense(h, p["wk"]), n_head)
+    v = _split_heads(dense(h, p["wv"], p["bv"]), n_head)
+    a = attention(q, k, v)
+    b_, t, _, _ = a.shape
+    x = x + dense(a.reshape(b_, t, -1), p["wo"], p["bo"])
+    h = layer_norm(x, p["ln2_s"], p["ln2_b"])
+    x = x + dense(jax.nn.gelu(dense(h, p["w1"], p["b1"]), approximate=False),
+                  p["w2"], p["b2"])
+    return x
+
+
+def encode(params: Params, config: WhisperConfig, mel: jax.Array) -> jax.Array:
+    """mel (B, n_mels, 3000) → encoder states (B, 1500, d)."""
+    enc = params["encoder"]
+    x = jax.nn.gelu(_conv1d(mel, enc["conv1_w"], enc["conv1_b"], 1),
+                    approximate=False)
+    x = jax.nn.gelu(_conv1d(x, enc["conv2_w"], enc["conv2_b"], 2),
+                    approximate=False)
+    x = jnp.swapaxes(x, 1, 2)  # (B, T, d)
+    x = x + enc["pos"].astype(x.dtype)
+
+    def body(h, layer_p):
+        return _encoder_block(h, layer_p, config.n_audio_head), None
+
+    x, _ = jax.lax.scan(body, x, enc["blocks"])
+    return layer_norm(x, enc["ln_s"], enc["ln_b"])
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    """Fixed-shape self-attention cache: (n_layer, B, T_max, H, hd) each."""
+    k: jax.Array
+    v: jax.Array
+
+    @staticmethod
+    def zeros(config: WhisperConfig, batch: int, max_len: int, dtype) -> "KVCache":
+        shape = (config.n_text_layer, batch, max_len, config.n_text_head,
+                 config.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+class CrossKV(NamedTuple):
+    """Per-segment cross-attention K/V: (n_layer, B, T_audio, H, hd)."""
+    k: jax.Array
+    v: jax.Array
+
+
+def precompute_cross_kv(params: Params, config: WhisperConfig,
+                        xa: jax.Array) -> CrossKV:
+    """Project encoder states once; reused by every decode step."""
+    blocks = params["decoder"]["blocks"]
+    h = config.n_text_head
+
+    def body(_, layer_p):
+        k = _split_heads(dense(xa, layer_p["cwk"]), h)
+        v = _split_heads(dense(xa, layer_p["cwv"], layer_p["cbv"]), h)
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(body, None, blocks)
+    return CrossKV(ks, vs)
+
+
+def _decoder_block(x, layer_p, cross_k, cross_v, cache_k, cache_v,
+                   pos, n_head, self_bias):
+    """One decoder block at positions [pos, pos+q). Returns x and new cache."""
+    b, q_len, d = x.shape
+    # --- causal self-attention over the cache ---
+    h = layer_norm(x, layer_p["ln1_s"], layer_p["ln1_b"])
+    q = _split_heads(dense(h, layer_p["wq"], layer_p["bq"]), n_head)
+    k_new = _split_heads(dense(h, layer_p["wk"]), n_head)
+    v_new = _split_heads(dense(h, layer_p["wv"], layer_p["bv"]), n_head)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype),
+                                           (0, pos, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype),
+                                           (0, pos, 0, 0))
+    a = attention(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), self_bias)
+    x = x + dense(a.reshape(b, q_len, d), layer_p["wo"], layer_p["bo"])
+    # --- cross-attention ---
+    h = layer_norm(x, layer_p["lnx_s"], layer_p["lnx_b"])
+    cq = _split_heads(dense(h, layer_p["cwq"], layer_p["cbq"]), n_head)
+    a = attention(cq, cross_k.astype(cq.dtype), cross_v.astype(cq.dtype))
+    x = x + dense(a.reshape(b, q_len, d), layer_p["cwo"], layer_p["cbo"])
+    # --- mlp ---
+    h = layer_norm(x, layer_p["ln2_s"], layer_p["ln2_b"])
+    x = x + dense(jax.nn.gelu(dense(h, layer_p["w1"], layer_p["b1"]),
+                              approximate=False),
+                  layer_p["w2"], layer_p["b2"])
+    return x, cache_k, cache_v
+
+
+def decode_step(
+    params: Params,
+    config: WhisperConfig,
+    tokens: jax.Array,       # (B, q_len) token ids at positions [pos, pos+q)
+    pos,                     # scalar int: first position of this chunk
+    cache: KVCache,          # (L, B, T_max, H, hd)
+    cross: CrossKV,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the decoder on a chunk (prefill or single step).
+
+    Returns (logits (B, q_len, vocab) float32, updated cache).
+    """
+    dec = params["decoder"]
+    b, q_len = tokens.shape
+    t_max = cache.k.shape[2]
+    dtype = dec["tok_emb"].dtype
+
+    x = dec["tok_emb"][tokens].astype(dtype)
+    pos_emb = jax.lax.dynamic_slice(
+        dec["pos_emb"], (pos, 0), (q_len, dec["pos_emb"].shape[1]))
+    x = x + pos_emb.astype(dtype)
+
+    # bias (1, 1, q_len, T_max): key j visible to query i iff j <= pos + i
+    q_idx = pos + jax.lax.broadcasted_iota(jnp.int32, (q_len, t_max), 0)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (q_len, t_max), 1)
+    self_bias = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)[None, None]
+
+    def body(h, xs):
+        layer_p, ck, cv, sk, sv = xs
+        h, nk, nv = _decoder_block(h, layer_p, ck, cv, sk, sv, pos,
+                                   config.n_text_head, self_bias)
+        return h, (nk, nv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (dec["blocks"], cross.k, cross.v, cache.k, cache.v))
+    x = layer_norm(x, dec["ln_s"], dec["ln_b"])
+    logits = jnp.dot(x, dec["tok_emb"].T.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return logits, KVCache(new_k, new_v)
+
+
+def decode_train(params: Params, config: WhisperConfig,
+                 tokens: jax.Array, xa: jax.Array) -> jax.Array:
+    """Teacher-forced full-sequence decoder (training / parity tests).
+
+    tokens (B, S), xa (B, T_a, d) → logits (B, S, vocab) float32.
+    """
+    cross = precompute_cross_kv(params, config, xa)
+    cache = KVCache.zeros(config, tokens.shape[0], tokens.shape[1],
+                          params["decoder"]["tok_emb"].dtype)
+    logits, _ = decode_step(params, config, tokens, 0, cache, cross)
+    return logits
+
+
+def forward(params: Params, config: WhisperConfig,
+            mel: jax.Array, tokens: jax.Array) -> jax.Array:
+    """Full teacher-forced forward: mel + tokens → logits."""
+    xa = encode(params, config, mel)
+    return decode_train(params, config, tokens, xa)
