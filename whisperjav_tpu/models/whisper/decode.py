@@ -1,0 +1,348 @@
+"""Batched Whisper decoding on TPU: greedy/sampled + timestamp rules.
+
+Re-creates the decoding semantics the reference gets from
+faster-whisper/CTranslate2 (reference: whisperjav/modules/
+faster_whisper_pro_asr.py:819-894 consumes segments with logprob /
+no-speech / timestamp outputs) as a single fixed-shape ``lax.while_loop``
+under jit:
+
+- the whole batch decodes in lockstep with per-row ``finished`` freezing —
+  no dynamic shapes, no host round-trips inside the loop;
+- Whisper's logit rules (suppress-tokens, suppress-blank, timestamp
+  pairing/monotonicity, max-initial-timestamp, the sum-of-timestamp-
+  probability force rule) are implemented as vectorized masks;
+- sampling uses ``argmax(logits + T * gumbel)`` so temperature 0 is exact
+  greedy and the fallback ladder re-uses one compiled program;
+- repetition penalty (CTranslate2-style: applied to every previously
+  generated token) is a scatter over the token buffer.
+
+Outputs per row: generated tokens, summed/averaged logprob, length, and
+the no-speech probability read at the SOT position — everything the
+host-side segment filter gate consumes.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperjav_tpu.models.whisper.config import (
+    WhisperConfig, language_token,
+)
+from whisperjav_tpu.models.whisper.model import (
+    CrossKV, KVCache, Params, decode_step, precompute_cross_kv,
+)
+from whisperjav_tpu.models.whisper.tokenizer import DEFAULT_NONSPEECH_TOKENS
+
+_BLANK_TOKEN = 220  # GPT-2 BPE " " token; suppressed at the first step
+
+
+@dataclass(frozen=True)
+class DecodeOptions:
+    """Static decoding configuration (hashable: participates in jit keys)."""
+    task: str = "transcribe"
+    language: str = "ja"
+    max_new_tokens: int = 224
+    with_timestamps: bool = True
+    max_initial_timestamp: float = 1.0
+    suppress_blank: bool = True
+    suppress_tokens: Tuple[int, ...] = DEFAULT_NONSPEECH_TOKENS
+    repetition_penalty: float = 1.0
+    beam_size: int = 1
+    length_penalty: float = 1.0
+    ts_precision: float = 0.02
+
+
+class DecodeResult(NamedTuple):
+    tokens: jax.Array        # (B, max_new) generated ids, eot-padded
+    length: jax.Array        # (B,) count of generated tokens before eot
+    sum_logprob: jax.Array   # (B,)
+    avg_logprob: jax.Array   # (B,)  sum / (length + 1), whisper convention
+    no_speech_prob: jax.Array  # (B,)
+
+
+def initial_tokens(config: WhisperConfig, options: DecodeOptions,
+                   prompt: Sequence[int] = ()) -> np.ndarray:
+    """SOT sequence: [prev-prompt] + [sot, lang, task] (+ no_timestamps)."""
+    toks = [config.sot_prev, *prompt] if prompt else []
+    toks += [config.sot, language_token(config, options.language),
+             config.transcribe if options.task == "transcribe" else config.translate]
+    if not options.with_timestamps:
+        toks.append(config.no_timestamps)
+    return np.asarray(toks, np.int32)
+
+
+def _static_suppress_mask(config: WhisperConfig,
+                          options: DecodeOptions) -> np.ndarray:
+    """(V,) additive mask of always-suppressed ids (specials + non-speech)."""
+    mask = np.zeros((config.n_vocab,), np.float32)
+    for t in options.suppress_tokens:
+        if 0 <= t < config.n_vocab:
+            mask[t] = -np.inf
+    # every special token between eot (exclusive) and timestamp_begin:
+    # sot, language tags, task tags, no_timestamps, no_speech, sot_prev
+    mask[config.eot + 1: config.timestamp_begin] = -np.inf
+    if not options.with_timestamps:
+        mask[config.timestamp_begin:] = -np.inf
+    return mask
+
+
+class _State(NamedTuple):
+    step: jax.Array
+    tokens: jax.Array        # (B, total_len)
+    cache: KVCache
+    cur_logits: jax.Array    # (B, V) logits for the next position
+    sum_lp: jax.Array
+    length: jax.Array
+    finished: jax.Array
+    last_was_ts: jax.Array
+    penult_was_ts: jax.Array
+    max_ts: jax.Array        # (B,) highest emitted timestamp id
+    rng: jax.Array
+
+
+def _apply_logit_rules(logits, state, config: WhisperConfig,
+                       options: DecodeOptions, static_mask, prompt_len):
+    """All Whisper logit filters, vectorized over the batch."""
+    b, v = logits.shape
+    logits = logits + static_mask[None, :]
+    is_first = state.step == 0
+
+    if options.suppress_blank:
+        first_mask = jnp.zeros((v,), jnp.float32)
+        first_mask = first_mask.at[_BLANK_TOKEN].set(-jnp.inf)
+        first_mask = first_mask.at[config.eot].set(-jnp.inf)
+        logits = jnp.where(is_first, logits + first_mask[None, :], logits)
+
+    if options.repetition_penalty != 1.0:
+        # CTranslate2-style: penalize every already-generated token id
+        penalty = options.repetition_penalty
+        positions = jnp.arange(state.tokens.shape[1])
+        valid = (positions[None, :] >= prompt_len) & (
+            positions[None, :] < prompt_len + state.step)
+        scatter_ids = jnp.where(valid, state.tokens, config.eot)
+        seen = jnp.zeros((b, v), jnp.bool_).at[
+            jnp.arange(b)[:, None], scatter_ids].set(True)
+        seen = seen.at[:, config.eot].set(False)
+        penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+        logits = jnp.where(seen, penalized, logits)
+
+    if options.with_timestamps:
+        ts_begin = config.timestamp_begin
+        idx = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
+        is_ts = idx >= ts_begin
+        neg = jnp.float32(-jnp.inf)
+
+        # pairing: after a lone timestamp, only text may not follow — the
+        # pair must close (non-ts suppressed except eot); after a closed
+        # pair, another timestamp may not immediately open
+        lone_ts = state.last_was_ts & ~state.penult_was_ts
+        closed_ts = state.last_was_ts & state.penult_was_ts
+        sup_pair = jnp.where(
+            lone_ts[:, None] & ~is_ts & (idx != config.eot), neg, 0.0)
+        sup_closed = jnp.where(closed_ts[:, None] & is_ts, neg, 0.0)
+
+        # monotonic: timestamps must not decrease
+        sup_mono = jnp.where(is_ts & (idx < state.max_ts[:, None]), neg, 0.0)
+        logits = logits + sup_pair + sup_closed + sup_mono
+
+        # max initial timestamp at the first sampled position
+        max_init = ts_begin + int(round(
+            options.max_initial_timestamp / options.ts_precision))
+        sup_init = jnp.where(is_ts & (idx > max_init), neg, 0.0)
+        logits = jnp.where(is_first, logits + sup_init, logits)
+
+        # force-timestamp rule: if P(any timestamp) > max P(text token),
+        # sample must be a timestamp
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        ts_lse = jax.nn.logsumexp(jnp.where(is_ts, lp, neg), axis=-1)
+        max_text = jnp.max(jnp.where(is_ts, neg, lp), axis=-1)
+        force_ts = ts_lse > max_text
+        logits = jnp.where(force_ts[:, None] & ~is_ts, neg, logits)
+
+    return logits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "options", "prompt_len"))
+def _greedy_loop(params: Params, config: WhisperConfig,
+                 options: DecodeOptions, tokens_init: jax.Array,
+                 prompt_len: int, cross: CrossKV, cache: KVCache,
+                 prefill_logits: jax.Array, sot_logits: jax.Array,
+                 temperature: jax.Array, rng: jax.Array) -> DecodeResult:
+    b = tokens_init.shape[0]
+    max_new = options.max_new_tokens
+    static_mask = jnp.asarray(_static_suppress_mask(config, options))
+    no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, config.no_speech]
+
+    state = _State(
+        step=jnp.int32(0),
+        tokens=tokens_init,
+        cache=cache,
+        cur_logits=prefill_logits,
+        sum_lp=jnp.zeros((b,), jnp.float32),
+        length=jnp.zeros((b,), jnp.int32),
+        finished=jnp.zeros((b,), jnp.bool_),
+        last_was_ts=jnp.zeros((b,), jnp.bool_),
+        penult_was_ts=jnp.zeros((b,), jnp.bool_),
+        max_ts=jnp.full((b,), config.timestamp_begin, jnp.int32),
+        rng=rng,
+    )
+
+    def cond(s: _State):
+        return (s.step < max_new) & ~jnp.all(s.finished)
+
+    def body(s: _State) -> _State:
+        logits = _apply_logit_rules(s.cur_logits, s, config, options,
+                                    static_mask, prompt_len)
+        rng, sub = jax.random.split(s.rng)
+        gumbel = jax.random.gumbel(sub, logits.shape, jnp.float32)
+        token = jnp.argmax(logits + temperature * gumbel, axis=-1)
+        token = jnp.where(s.finished, config.eot, token).astype(jnp.int32)
+
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(lp, token[:, None], axis=-1)[:, 0]
+        sum_lp = s.sum_lp + jnp.where(s.finished, 0.0, tok_lp)
+        is_eot = token == config.eot
+        length = s.length + jnp.where(s.finished | is_eot, 0, 1)
+        finished = s.finished | is_eot
+
+        pos = prompt_len + s.step
+        tokens = jax.lax.dynamic_update_slice(
+            s.tokens, token[:, None], (0, pos))
+
+        is_ts = token >= config.timestamp_begin
+        max_ts = jnp.where(is_ts, jnp.maximum(s.max_ts, token), s.max_ts)
+
+        next_logits, cache = decode_step(
+            params, config, token[:, None], pos, s.cache, cross)
+
+        return _State(
+            step=s.step + 1, tokens=tokens, cache=cache,
+            cur_logits=next_logits[:, 0], sum_lp=sum_lp, length=length,
+            finished=finished,
+            last_was_ts=jnp.where(s.finished, s.last_was_ts, is_ts),
+            penult_was_ts=jnp.where(s.finished, s.penult_was_ts,
+                                    s.last_was_ts),
+            max_ts=max_ts, rng=rng,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    gen = jax.lax.dynamic_slice_in_dim(final.tokens, prompt_len, max_new, 1)
+    # replace anything at/after first eot with eot padding
+    first_eot = jnp.argmax(gen == config.eot, axis=1)
+    has_eot = jnp.any(gen == config.eot, axis=1)
+    cut = jnp.where(has_eot, first_eot, max_new)
+    mask = jax.lax.broadcasted_iota(jnp.int32, gen.shape, 1) >= cut[:, None]
+    gen = jnp.where(mask, config.eot, gen)
+    avg_lp = final.sum_lp / (final.length.astype(jnp.float32) + 1.0)
+    return DecodeResult(gen, final.length, final.sum_lp, avg_lp,
+                        no_speech_prob)
+
+
+def decode_greedy(
+    params: Params,
+    config: WhisperConfig,
+    xa: jax.Array,                       # (B, T_audio, d) encoder states
+    options: DecodeOptions = DecodeOptions(),
+    prompt: Sequence[int] = (),
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> DecodeResult:
+    """Greedy/temperature-sampled batched decode of encoded audio."""
+    b = xa.shape[0]
+    init = initial_tokens(config, options, prompt)
+    prompt_len = len(init)
+    # position of SOT in init: after the optional [sot_prev, *prompt] prefix;
+    # the suffix is [sot, lang, task] plus no_timestamps when disabled
+    sot_pos = prompt_len - (3 if options.with_timestamps else 4)
+
+    total_len = prompt_len + options.max_new_tokens
+    tokens = jnp.zeros((b, total_len), jnp.int32)
+    tokens = tokens.at[:, :prompt_len].set(jnp.asarray(init)[None, :])
+
+    cross = precompute_cross_kv(params, config, xa)
+    cache = KVCache.zeros(config, b, total_len,
+                          params["decoder"]["tok_emb"].dtype)
+    prefill, cache = decode_step(
+        params, config, jnp.broadcast_to(jnp.asarray(init)[None, :],
+                                         (b, prompt_len)),
+        0, cache, cross)
+    sot_logits = prefill[:, sot_pos]
+    last_logits = prefill[:, -1]
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    return _greedy_loop(params, config, options, tokens, prompt_len, cross,
+                        cache, last_logits, sot_logits,
+                        jnp.float32(temperature), rng)
+
+
+# ---------------------------------------------------------------------------
+# host-side segment extraction
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DecodedSegment:
+    start: float           # seconds, relative to window start
+    end: float
+    tokens: list
+    text: str = ""
+    avg_logprob: float = 0.0
+    no_speech_prob: float = 0.0
+
+
+def extract_segments(
+    token_ids: np.ndarray,
+    config: WhisperConfig,
+    options: DecodeOptions,
+    window_duration: float,
+    avg_logprob: float = 0.0,
+    no_speech_prob: float = 0.0,
+) -> list:
+    """Split one row of generated ids into timestamped segments (host-side).
+
+    Token stream shape: ``<|t0|> text <|t1|> <|t2|> text <|t3|> … eot``.
+    A trailing open segment (no closing timestamp) is clamped to the window
+    duration — same convention the reference relies on for stitching offsets
+    (whisperjav/modules/faster_whisper_pro_asr.py:1024-1031 adds scene
+    offsets to these per-window times).
+    """
+    ts_begin = config.timestamp_begin
+    prec = options.ts_precision
+    ids = [int(t) for t in token_ids]
+    segments: list = []
+    cur_tokens: list = []
+    cur_start: Optional[float] = None
+
+    for tid in ids:
+        if tid == config.eot:
+            break
+        if tid >= ts_begin:
+            t = (tid - ts_begin) * prec
+            if cur_start is None:
+                cur_start = t
+            elif cur_tokens:
+                segments.append(DecodedSegment(
+                    start=cur_start, end=min(t, window_duration),
+                    tokens=cur_tokens, avg_logprob=avg_logprob,
+                    no_speech_prob=no_speech_prob))
+                cur_tokens = []
+                cur_start = None
+        else:
+            if cur_start is None:
+                cur_start = 0.0
+            cur_tokens.append(tid)
+
+    if cur_tokens:
+        segments.append(DecodedSegment(
+            start=cur_start or 0.0, end=window_duration,
+            tokens=cur_tokens, avg_logprob=avg_logprob,
+            no_speech_prob=no_speech_prob))
+    return segments
