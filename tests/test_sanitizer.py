@@ -1,0 +1,116 @@
+"""Tests for the subtitle sanitization chain."""
+
+import pytest
+
+from whisperjav_tpu.modules.sanitize import (
+    HallucinationRemover, RepetitionCleaner, SRTPostProcessor,
+    SubtitleSanitizer,
+)
+from whisperjav_tpu.modules.srt import Subtitle
+
+
+class TestRepetitionCleaner:
+    def setup_method(self):
+        self.rc = RepetitionCleaner()
+
+    def test_char_run_collapse(self):
+        out, stats = self.rc.clean("あああああああ")
+        assert out == "あぁ"
+        assert stats.char_runs == 1
+
+    def test_phrase_loop_collapse(self):
+        out, stats = self.rc.clean("だめだめだめだめだめ")
+        assert stats.phrase_loops >= 1
+        assert len(out) < 10
+
+    def test_protected_laughter_kept(self):
+        out, _ = self.rc.clean("うふふふふ")
+        assert "うふふ" in out or out == "うふふふふ"
+
+    def test_normal_text_unchanged(self):
+        text = "今日はいい天気ですね"
+        out, stats = self.rc.clean(text)
+        assert out == text
+        assert stats.total == 0
+
+    def test_punct_run(self):
+        out, stats = self.rc.clean("そうか。。。。。")
+        assert stats.punct_runs == 1
+
+    def test_never_wipes_line(self):
+        out, _ = self.rc.clean("ああああああああああ")
+        assert out.strip()
+
+    def test_density_check(self):
+        assert self.rc.is_mostly_repetition("はいはいはいはいはいはいはいはい")
+        assert not self.rc.is_mostly_repetition("普通の文章です、特に繰り返しなし")
+
+
+class TestHallucinationRemover:
+    def setup_method(self):
+        self.hr = HallucinationRemover("ja")
+
+    def test_exact_blacklist(self):
+        assert self.hr.is_hallucination("ご視聴ありがとうございました")
+        # NFKC/whitespace-insensitive
+        assert self.hr.is_hallucination("ご視聴 ありがとう ございました")
+        assert not self.hr.is_hallucination("映画を見た")
+
+    def test_clean_removes_music_markers(self):
+        out, stats = self.hr.clean("♪〜 こんにちは")
+        assert "♪" not in out
+        assert stats.regex_removed >= 1
+
+    def test_clean_whole_line_hallucination(self):
+        out, stats = self.hr.clean("チャンネル登録をお願いします")
+        assert out == ""
+        assert stats.exact_removed == 1
+
+    def test_extendable(self):
+        self.hr.add_phrases(["カスタム幻覚フレーズ"])
+        assert self.hr.is_hallucination("カスタム幻覚フレーズ")
+
+
+class TestSubtitleSanitizer:
+    def test_full_chain(self):
+        subs = [
+            Subtitle(1, 0.0, 2.0, "こんにちは"),
+            Subtitle(2, 2.0, 4.0, ""),                       # empty
+            Subtitle(3, 4.0, 6.0, "ご視聴ありがとうございました"),  # hallucination
+            Subtitle(4, 6.0, 8.0, "ああああああああ"),          # repetition
+            Subtitle(5, 8.0, 9.0, "次の台詞"),
+            Subtitle(6, 9.2, 10.0, "次の台詞"),               # duplicate
+            Subtitle(7, 10.0, 10.1, "とても長いテキストがここにあります"),  # CPS
+            Subtitle(8, 11.0, 30.0, "長すぎる字幕"),           # >12s
+        ]
+        san = SubtitleSanitizer("ja")
+        out, report = san.process(subs)
+        texts = [s.text for s in out]
+        assert "こんにちは" in texts
+        assert "ご視聴ありがとうございました" not in texts
+        assert report.empty_removed == 1
+        assert report.hallucinations_removed >= 1
+        assert report.duplicates_merged == 1
+        assert report.cps_violations_removed == 1
+        # long subtitle clamped
+        long_sub = [s for s in out if s.text == "長すぎる字幕"][0]
+        assert long_sub.duration <= 12.0
+        # renumbered
+        assert [s.index for s in out] == list(range(1, len(out) + 1))
+
+    def test_timing_monotonic(self):
+        subs = [Subtitle(1, 0.0, 5.0, "一"), Subtitle(2, 3.0, 6.0, "二")]
+        out, _ = SubtitleSanitizer("ja").process(subs)
+        assert out[1].start >= out[0].end
+
+
+def test_postprocessor_router():
+    subs = [Subtitle(1, 0, 2, "thanks for watching"),
+            Subtitle(2, 3, 5, "real dialogue here")]
+    pp = SRTPostProcessor()
+    out, stats = pp.process(subs, language="en")
+    assert len(out) == 1
+    assert stats["hallucinations_removed"] == 1
+
+    out_ja, _ = pp.process([Subtitle(1, 0, 2, "こんにちは")], language="japanese")
+    assert len(out_ja) == 1

@@ -1,0 +1,177 @@
+"""``whisperjav`` command-line interface.
+
+Keeps the reference CLI's core surface (reference: whisperjav/main.py:
+155-695 — --mode, --sensitivity, --subs-language, --model, batch inputs,
+--output-dir, --stats-file, skip-existing resume, VTT conversion) on top
+of the TPU pipeline. GPU-era flags that have no TPU meaning (compute
+types, VRAM controls, subprocess workers) are intentionally absent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+from typing import List, Optional
+
+
+def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="whisperjav",
+        description="TPU-native Japanese ASR → SRT subtitle pipeline",
+    )
+    p.add_argument("inputs", nargs="+",
+                   help="media files, directories, or glob patterns")
+    p.add_argument("--mode", default="balanced",
+                   choices=["faster", "fast", "balanced", "fidelity",
+                            "transformers"],
+                   help="pipeline mode preset")
+    p.add_argument("--sensitivity", default="balanced",
+                   choices=["conservative", "balanced", "aggressive"],
+                   help="decoding/VAD sensitivity preset")
+    p.add_argument("--model", default=None,
+                   help="whisper size override (tiny/base/small/medium/"
+                        "large-v2/large-v3/turbo)")
+    p.add_argument("--checkpoint", default=None,
+                   help="local HF checkpoint directory with model weights")
+    p.add_argument("--language", "--lang", dest="language", default="ja")
+    p.add_argument("--subs-language", default="japanese",
+                   choices=["japanese", "english-direct"],
+                   help="english-direct uses Whisper's translate task")
+    p.add_argument("--output-dir", default="./output")
+    p.add_argument("--temp-dir", default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--vad-backend", default=None,
+                   help="override VAD backend (energy/silero/whisperseg/none)")
+    p.add_argument("--scene-backend", default=None,
+                   help="override scene backend (energy/semantic/none)")
+    p.add_argument("--no-sanitize", action="store_true",
+                   help="skip subtitle sanitization")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="skip files whose output SRT already exists")
+    p.add_argument("--make-vtt", action="store_true",
+                   help="also write a WebVTT copy")
+    p.add_argument("--stats-file", default=None,
+                   help="write batch statistics JSON here")
+    p.add_argument("--trace-params", default=None,
+                   help="stream parameter-trace JSONL to this path")
+    p.add_argument("--recursive", action="store_true")
+    p.add_argument("--verbosity", default="info",
+                   choices=["quiet", "normal", "info", "verbose", "debug"])
+    p.add_argument("--log-file", default=None)
+    p.add_argument("--check", action="store_true",
+                   help="run environment preflight checks and exit")
+    p.add_argument("--dump-params", action="store_true",
+                   help="print the resolved runtime config and exit")
+    p.add_argument("--version", action="version",
+                   version=_version_string())
+    return p.parse_args(argv)
+
+
+def _version_string() -> str:
+    from whisperjav_tpu.version import __version__
+    return f"whisperjav-tpu {__version__}"
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = parse_arguments(argv)
+
+    from whisperjav_tpu.utils.logger import setup_logger
+    logger = setup_logger(args.verbosity,
+                          Path(args.log_file) if args.log_file else None)
+
+    if args.check:
+        from whisperjav_tpu.utils.preflight import run_preflight_checks
+        ok = run_preflight_checks(verbose=True)
+        return 0 if ok else 1
+
+    from whisperjav_tpu.config.presets import resolve_pipeline_config
+    task = "translate" if args.subs_language == "english-direct" else "transcribe"
+    cfg = resolve_pipeline_config(
+        mode=args.mode, sensitivity=args.sensitivity,
+        language=args.language, task=task, model=args.model,
+        batch_size=args.batch_size,
+        vad_backend=args.vad_backend, scene_backend=args.scene_backend,
+    )
+
+    if args.dump_params:
+        from dataclasses import asdict
+        print(json.dumps({
+            "mode": asdict(cfg.mode), "sensitivity": asdict(cfg.sensitivity),
+            "language": cfg.language, "task": cfg.task, "model": cfg.model,
+            "batch_size": cfg.batch_size,
+        }, indent=2))
+        return 0
+
+    from whisperjav_tpu.modules.media_discovery import discover
+    media = discover(args.inputs, recursive=args.recursive)
+    if not media:
+        logger.error("no media files found in inputs: %s", args.inputs)
+        return 1
+    logger.info("discovered %d media file(s)", len(media))
+
+    output_dir = Path(args.output_dir)
+    out_lang = "ja" if task == "transcribe" else "en"
+
+    if args.skip_existing:
+        remaining = []
+        for m in media:
+            srt = output_dir / f"{m.basename}.{out_lang}.whisperjav.srt"
+            if srt.exists():
+                logger.info("skip existing: %s", srt.name)
+            else:
+                remaining.append(m)
+        media = remaining
+        if not media:
+            logger.info("nothing to do")
+            return 0
+
+    tracer = None
+    if args.trace_params:
+        from whisperjav_tpu.utils.tracer import ParameterTracer
+        tracer = ParameterTracer(Path(args.trace_params))
+        tracer.event("config", {"mode": cfg.mode.name,
+                                "sensitivity": cfg.sensitivity.name,
+                                "model": cfg.model})
+
+    postprocessor = None
+    if not args.no_sanitize:
+        from whisperjav_tpu.modules.sanitize import SRTPostProcessor
+        postprocessor = SRTPostProcessor()
+
+    from whisperjav_tpu.pipelines.factory import build_pipeline
+    pipeline = build_pipeline(cfg, checkpoint=args.checkpoint,
+                              postprocessor=postprocessor, tracer=tracer)
+
+    batch_stats = []
+    failures = 0
+    t_start = time.time()
+    for m in media:
+        try:
+            result = pipeline.process(m, output_dir)
+            if args.make_vtt and result.srt_path:
+                from whisperjav_tpu.modules.srt import srt_to_vtt
+                srt_to_vtt(result.srt_path)
+            batch_stats.append(result.metadata)
+        except Exception as e:  # keep the batch going, reference behavior
+            logger.error("failed on %s: %s", m.path.name, e, exc_info=True)
+            failures += 1
+
+    summary = {
+        "files": len(media),
+        "failures": failures,
+        "wall_s": round(time.time() - t_start, 2),
+        "results": batch_stats,
+    }
+    if args.stats_file:
+        Path(args.stats_file).write_text(
+            json.dumps(summary, indent=2, default=str), encoding="utf-8")
+    logger.info("done: %d file(s), %d failure(s), %.1fs",
+                len(media), failures, summary["wall_s"])
+    return 0 if failures == 0 else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,143 @@
+"""Mode and sensitivity presets — the single config system.
+
+Replaces the reference's four coexisting config generations (SURVEY.md §5:
+argparse + legacy v3 Pydantic + v4 YAML + asr_config.json) with one typed
+preset registry. The *values* keep behavioral parity with the reference's
+single-source-of-truth Pydantic presets (reference:
+whisperjav/config/components/asr/faster_whisper.py:236-356 — beam 2-3,
+logprob −0.84…−1.00, no_speech 0.54/0.65/0.72, repetition_penalty
+1.8/1.5/1.3, temperature ladders; components/vad/silero.py:95-123 — VAD
+threshold 0.41/0.28/0.18, max group 7/6/5 s), while the *mechanics* are a
+flat dataclass resolve: mode → model/backends, sensitivity → thresholds,
+CLI overrides last.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class SensitivityPreset:
+    name: str
+    # decoding
+    beam_size: int
+    temperatures: Tuple[float, ...]
+    repetition_penalty: float
+    # quality gates
+    logprob_threshold: float
+    no_speech_threshold: float
+    compression_ratio_threshold: float = 2.4
+    # VAD
+    vad_threshold: float = 0.28
+    max_group_duration_s: float = 6.0
+    energy_vad_db: float = 40.0
+
+
+SENSITIVITY_PRESETS: Dict[str, SensitivityPreset] = {
+    "conservative": SensitivityPreset(
+        name="conservative", beam_size=2, temperatures=(0.0,),
+        repetition_penalty=1.8, logprob_threshold=-0.84,
+        no_speech_threshold=0.54, vad_threshold=0.41,
+        max_group_duration_s=7.0, energy_vad_db=42.0),
+    "balanced": SensitivityPreset(
+        name="balanced", beam_size=2, temperatures=(0.0, 0.2),
+        repetition_penalty=1.5, logprob_threshold=-0.92,
+        no_speech_threshold=0.65, vad_threshold=0.28,
+        max_group_duration_s=6.0, energy_vad_db=40.0),
+    "aggressive": SensitivityPreset(
+        name="aggressive", beam_size=3, temperatures=(0.0, 0.2),
+        repetition_penalty=1.3, logprob_threshold=-1.0,
+        no_speech_threshold=0.72, vad_threshold=0.18,
+        max_group_duration_s=5.0, energy_vad_db=37.0),
+}
+
+
+@dataclass(frozen=True)
+class ModePreset:
+    """What the reference calls a pipeline mode (--mode)."""
+    name: str
+    model: str                      # whisper size key
+    scene_backend: str = "energy"
+    vad_backend: str = "energy"
+    with_timestamps: bool = True
+    description: str = ""
+
+
+MODE_PRESETS: Dict[str, ModePreset] = {
+    # reference: faster/fast → stable-ts over faster-whisper turbo
+    "faster": ModePreset("faster", model="turbo", scene_backend="none",
+                         vad_backend="none",
+                         description="direct decode, no segmentation"),
+    "fast": ModePreset("fast", model="turbo", scene_backend="energy",
+                       vad_backend="none",
+                       description="scene split + full-scene decode"),
+    # reference: balanced → faster-whisper + external VAD
+    "balanced": ModePreset("balanced", model="turbo", scene_backend="energy",
+                           vad_backend="silero",
+                           description="scene split + VAD grouping"),
+    # reference: fidelity → whisper large-v2 + enhancement
+    "fidelity": ModePreset("fidelity", model="large-v2",
+                           scene_backend="energy", vad_backend="silero",
+                           description="large-v2 + enhancement + VAD"),
+    # reference: transformers → kotoba chunked pipeline
+    "transformers": ModePreset("transformers", model="large-v2",
+                               scene_backend="energy", vad_backend="none",
+                               description="chunked long-form decode"),
+}
+
+
+@dataclass
+class PipelineConfig:
+    """Fully resolved runtime configuration for one run."""
+    mode: ModePreset
+    sensitivity: SensitivityPreset
+    language: str = "ja"
+    task: str = "transcribe"
+    model_override: Optional[str] = None
+    batch_size: int = 8
+    scene_kwargs: Dict = field(default_factory=dict)
+    vad_kwargs: Dict = field(default_factory=dict)
+
+    @property
+    def model(self) -> str:
+        return self.model_override or self.mode.model
+
+
+def resolve_pipeline_config(
+    mode: str = "balanced",
+    sensitivity: str = "balanced",
+    language: str = "ja",
+    task: str = "transcribe",
+    model: Optional[str] = None,
+    batch_size: int = 8,
+    **overrides,
+) -> PipelineConfig:
+    """CLI-facing resolver. Precedence: explicit overrides > sensitivity
+    preset > mode defaults (reference precedence contract:
+    whisperjav/config/legacy.py:54-91 None-stripping)."""
+    if mode not in MODE_PRESETS:
+        raise ValueError(f"unknown mode {mode!r}; "
+                         f"choose from {sorted(MODE_PRESETS)}")
+    if sensitivity not in SENSITIVITY_PRESETS:
+        raise ValueError(f"unknown sensitivity {sensitivity!r}; "
+                         f"choose from {sorted(SENSITIVITY_PRESETS)}")
+    sens = SENSITIVITY_PRESETS[sensitivity]
+    clean = {k: v for k, v in overrides.items() if v is not None}
+    sens_fields = {f for f in SensitivityPreset.__dataclass_fields__}
+    sens = replace(sens, **{k: v for k, v in clean.items()
+                            if k in sens_fields})
+    cfg = PipelineConfig(
+        mode=MODE_PRESETS[mode], sensitivity=sens, language=language,
+        task=task, model_override=model, batch_size=batch_size,
+    )
+    if "vad_backend" in clean:
+        cfg.mode = replace(cfg.mode, vad_backend=clean["vad_backend"])
+    if "scene_backend" in clean:
+        cfg.mode = replace(cfg.mode, scene_backend=clean["scene_backend"])
+    if "scene_kwargs" in clean:
+        cfg.scene_kwargs = clean["scene_kwargs"]
+    if "vad_kwargs" in clean:
+        cfg.vad_kwargs = clean["vad_kwargs"]
+    return cfg

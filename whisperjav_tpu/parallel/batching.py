@@ -1,0 +1,101 @@
+"""Window collection and fixed-shape batching: the throughput core.
+
+Replaces the reference's scene-sequential decode loop (reference:
+whisperjav/pipelines/balanced_pipeline.py:436-513 — scenes decoded
+one-by-one on one GPU) with the TPU-native shape: every VAD group becomes
+a fixed 30 s window, windows from ALL scenes are flattened into one work
+list and decoded as padded (B, N_SAMPLES) batches, data-parallel across
+the mesh. Everything the device sees is static-shaped; stragglers are
+padded with silence rows that are masked out on the host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from whisperjav_tpu.modules.scene_detection.base import Scene
+from whisperjav_tpu.modules.segmentation.base import (
+    SegmentationResult, SpeechGroup,
+)
+from whisperjav_tpu.modules.audio_io import WHISPER_SAMPLE_RATE
+from whisperjav_tpu.ops.mel import N_SAMPLES
+
+
+@dataclass
+class Window:
+    """One ASR decode unit: ≤30 s of audio with its global placement."""
+    audio: np.ndarray          # float32, ≤ N_SAMPLES samples @16 kHz
+    abs_start: float           # seconds in the source file
+    duration: float            # true (unpadded) seconds
+    scene_idx: int = 0
+    group_idx: int = 0
+    speech_segments: List[Tuple[float, float]] = field(default_factory=list)
+    # window-relative speech regions, for diagnostics / timestamp fallback
+
+
+def windows_from_segmentation(
+    audio: np.ndarray,
+    scene: Scene,
+    seg_result: SegmentationResult,
+    sample_rate: int = WHISPER_SAMPLE_RATE,
+) -> List[Window]:
+    """Slice one scene's audio into decode windows, one per VAD group."""
+    windows: List[Window] = []
+    scene_offset = scene.start
+    for gi, group in enumerate(seg_result.groups):
+        a = int(round((scene_offset + group.start) * sample_rate))
+        b = int(round((scene_offset + group.end) * sample_rate))
+        a = max(0, min(a, len(audio)))
+        b = max(a, min(b, len(audio)))
+        if b - a < int(0.05 * sample_rate):
+            continue
+        clip = audio[a:b]
+        if len(clip) > N_SAMPLES:
+            clip = clip[:N_SAMPLES]
+        windows.append(Window(
+            audio=np.ascontiguousarray(clip, np.float32),
+            abs_start=a / sample_rate,
+            duration=len(clip) / sample_rate,
+            scene_idx=scene.index,
+            group_idx=gi,
+            speech_segments=[(s.start - group.start, s.end - group.start)
+                             for s in group.segments],
+        ))
+    return windows
+
+
+@dataclass
+class WindowBatch:
+    audio: np.ndarray          # (B, N_SAMPLES) float32, zero-padded
+    windows: List[Window]      # len ≤ B; row i ↔ windows[i]
+    n_valid: int
+
+    @property
+    def batch_size(self) -> int:
+        return self.audio.shape[0]
+
+
+def batch_windows(
+    windows: Sequence[Window],
+    batch_size: int,
+    sort_by_duration: bool = True,
+) -> Iterator[WindowBatch]:
+    """Yield fixed-size padded batches.
+
+    Sorting by duration groups similar-length windows so the while_loop
+    decode (which runs until the LAST row finishes) wastes minimal steps on
+    short rows batched with long ones. Order is restored by the caller via
+    (scene_idx, group_idx).
+    """
+    order = list(range(len(windows)))
+    if sort_by_duration:
+        order.sort(key=lambda i: windows[i].duration)
+    for i in range(0, len(order), batch_size):
+        chunk = [windows[j] for j in order[i:i + batch_size]]
+        buf = np.zeros((batch_size, N_SAMPLES), np.float32)
+        for r, w in enumerate(chunk):
+            buf[r, :len(w.audio)] = w.audio
+        yield WindowBatch(buf, chunk, len(chunk))

@@ -1,0 +1,188 @@
+"""TranscriptionEngine: the pjit-compiled audio→tokens device program.
+
+This is the replacement for the reference's per-scene
+``whisper_model.transcribe`` calls into CTranslate2 (reference:
+whisperjav/modules/faster_whisper_pro_asr.py:819-894): one compiled XLA
+program runs log-mel → encoder → KV-cached decode for a whole
+fixed-shape window batch, data-parallel sharded over the mesh. The
+temperature-fallback ladder re-runs the SAME executable (temperature is a
+traced scalar), replacing only failed rows host-side — no recompiles, no
+generator churn.
+"""
+
+from __future__ import annotations
+
+import functools
+import zlib
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from whisperjav_tpu.models.whisper.config import WhisperConfig
+from whisperjav_tpu.models.whisper.decode import (
+    DecodeOptions, DecodeResult, DecodedSegment, decode_greedy,
+    extract_segments,
+)
+from whisperjav_tpu.models.whisper.model import Params, encode
+from whisperjav_tpu.models.whisper.tokenizer import WhisperTokenizer
+from whisperjav_tpu.ops.mel import N_SAMPLES, log_mel_spectrogram
+from whisperjav_tpu.parallel.batching import Window, WindowBatch, batch_windows
+from whisperjav_tpu.utils.logger import logger
+
+
+@dataclass
+class QualityThresholds:
+    """Defensive decoding gates (reference sensitivity presets carry these;
+    whisperjav/config/components/asr/faster_whisper.py:236-356)."""
+    logprob_threshold: float = -1.0
+    no_speech_threshold: float = 0.6
+    compression_ratio_threshold: float = 2.4
+    temperatures: Tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+
+
+class TranscriptionEngine:
+    """Batched, sharded Whisper inference with temperature fallback."""
+
+    def __init__(
+        self,
+        config: WhisperConfig,
+        params: Params,
+        options: DecodeOptions = DecodeOptions(),
+        thresholds: QualityThresholds = QualityThresholds(),
+        batch_size: int = 8,
+        mesh: Optional[Mesh] = None,
+        tokenizer: Optional[WhisperTokenizer] = None,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.config = config
+        self.options = options
+        self.thresholds = thresholds
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.tokenizer = tokenizer or WhisperTokenizer(config)
+        self.compute_dtype = compute_dtype
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(x, compute_dtype)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
+            params)
+
+        config_ = config
+        options_ = options
+
+        def _run(params, audio, temperature, rng):
+            mel = log_mel_spectrogram(audio, n_mels=config_.n_mels)
+            xa = encode(params, config_, mel.astype(compute_dtype))
+            return decode_greedy(params, config_, xa, options_,
+                                 temperature=temperature, rng=rng)
+
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P("data"))
+            self.params = jax.device_put(self.params, repl)
+            self._fn = jax.jit(
+                _run,
+                in_shardings=(repl, bsh, repl, repl),
+                out_shardings=DecodeResult(bsh, bsh, bsh, bsh, bsh),
+            )
+        else:
+            self._fn = jax.jit(_run)
+
+    # ------------------------------------------------------------------
+    def decode_batch(self, audio: np.ndarray,
+                     temperature: float = 0.0,
+                     seed: int = 0) -> DecodeResult:
+        """audio (B, N_SAMPLES) float32 → DecodeResult (device)."""
+        assert audio.shape[1] == N_SAMPLES
+        return self._fn(self.params, jnp.asarray(audio),
+                        jnp.float32(temperature),
+                        jax.random.PRNGKey(seed))
+
+    # ------------------------------------------------------------------
+    def _compression_ratio(self, token_ids: Sequence[int]) -> float:
+        """zlib compression ratio; uses real text when a tokenizer is
+        available, token bytes otherwise (same monotonic signal)."""
+        text_ids = [t for t in token_ids
+                    if t < self.config.eot]
+        if not text_ids:
+            return 0.0
+        if self.tokenizer.is_real:
+            data = self.tokenizer.decode(text_ids).encode("utf-8")
+        else:
+            data = np.asarray(text_ids, np.int32).tobytes()
+        if len(data) == 0:
+            return 0.0
+        return len(data) / len(zlib.compress(data))
+
+    def _row_needs_fallback(self, tokens: np.ndarray, avg_lp: float) -> bool:
+        th = self.thresholds
+        if avg_lp < th.logprob_threshold:
+            return True
+        if self._compression_ratio(tokens) > th.compression_ratio_threshold:
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    def transcribe_batch(self, batch: WindowBatch,
+                         seed: int = 0) -> List[List[DecodedSegment]]:
+        """Decode one padded batch with the temperature fallback ladder.
+
+        Returns per-valid-window segment lists (window-relative times),
+        already filtered by the no-speech × logprob gate.
+        """
+        th = self.thresholds
+        temps = th.temperatures
+        result = self.decode_batch(batch.audio, temps[0], seed)
+        tokens = np.array(result.tokens)         # writable host copies
+        avg_lp = np.array(result.avg_logprob)
+        no_speech = np.array(result.no_speech_prob)
+
+        # temperature fallback: re-decode whole batch at higher temperature,
+        # adopt replacements only for rows that failed quality gates
+        for t_i, temp in enumerate(temps[1:], start=1):
+            failed = [b for b in range(batch.n_valid)
+                      if self._row_needs_fallback(tokens[b], avg_lp[b])]
+            if not failed:
+                break
+            logger.debug("temperature fallback t=%.1f for %d/%d rows",
+                         temp, len(failed), batch.n_valid)
+            retry = self.decode_batch(batch.audio, temp, seed + t_i)
+            r_tokens = np.asarray(retry.tokens)
+            r_avg = np.asarray(retry.avg_logprob)
+            for b in failed:
+                tokens[b] = r_tokens[b]
+                avg_lp[b] = r_avg[b]
+
+        out: List[List[DecodedSegment]] = []
+        for b in range(batch.n_valid):
+            w = batch.windows[b]
+            # no-speech gate: whisper convention — skip only when BOTH the
+            # no-speech prob is high and the decode is low-confidence
+            if (no_speech[b] > th.no_speech_threshold
+                    and avg_lp[b] < th.logprob_threshold):
+                out.append([])
+                continue
+            segs = extract_segments(
+                tokens[b], self.config, self.options,
+                window_duration=w.duration,
+                avg_logprob=float(avg_lp[b]),
+                no_speech_prob=float(no_speech[b]))
+            for s in segs:
+                s.text = self.tokenizer.decode(s.tokens)
+            out.append(segs)
+        return out
+
+    # ------------------------------------------------------------------
+    def transcribe_windows(
+        self, windows: Sequence[Window], seed: int = 0,
+    ) -> List[Tuple[Window, List[DecodedSegment]]]:
+        """Decode an arbitrary window list in fixed-shape batches."""
+        results: List[Tuple[Window, List[DecodedSegment]]] = []
+        for bi, batch in enumerate(batch_windows(windows, self.batch_size)):
+            segs = self.transcribe_batch(batch, seed=seed + bi * 131)
+            results.extend(zip(batch.windows, segs))
+        results.sort(key=lambda p: (p[0].scene_idx, p[0].group_idx))
+        return results

@@ -1,0 +1,97 @@
+"""Build a ready-to-run pipeline from a resolved PipelineConfig."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from whisperjav_tpu.config.presets import PipelineConfig
+from whisperjav_tpu.models.whisper.config import WHISPER_SIZES, WhisperConfig
+from whisperjav_tpu.models.whisper.decode import DecodeOptions
+from whisperjav_tpu.models.whisper.model import init_params
+from whisperjav_tpu.models.whisper.tokenizer import (
+    WhisperTokenizer, find_tokenizer_files,
+)
+from whisperjav_tpu.pipelines.engine import (
+    QualityThresholds, TranscriptionEngine,
+)
+from whisperjav_tpu.pipelines.transcribe import TranscribePipeline
+from whisperjav_tpu.utils.logger import logger
+
+
+def load_model(model_name: str, checkpoint: Optional[str] = None,
+               dtype=jnp.bfloat16):
+    """Load Whisper weights: local HF checkpoint dir when given, otherwise
+    random-init at the requested architecture (zero-egress environments
+    cannot download; decoding then produces structurally valid but
+    meaningless text — still useful for benchmarks and plumbing tests)."""
+    if checkpoint:
+        from whisperjav_tpu.models.whisper.convert import load_pretrained
+        config, params = load_pretrained(checkpoint, dtype=jnp.float32)
+        logger.info("loaded checkpoint %s (%s)", checkpoint, config.name)
+        return config, params
+    if model_name not in WHISPER_SIZES:
+        raise ValueError(f"unknown model {model_name!r}; "
+                         f"choose from {sorted(WHISPER_SIZES)}")
+    config = WHISPER_SIZES[model_name]
+    logger.warning("no checkpoint provided — using random-init %s weights "
+                   "(text output will not be meaningful)", model_name)
+    params = init_params(config, jax.random.PRNGKey(0), dtype=dtype)
+    return config, params
+
+
+def build_pipeline(
+    cfg: PipelineConfig,
+    checkpoint: Optional[str] = None,
+    mesh=None,
+    postprocessor=None,
+    tracer=None,
+    model_config: Optional[WhisperConfig] = None,
+    params=None,
+) -> TranscribePipeline:
+    if params is None or model_config is None:
+        model_config, params = load_model(cfg.model, checkpoint)
+
+    sens = cfg.sensitivity
+    options = DecodeOptions(
+        task=cfg.task,
+        language=cfg.language,
+        with_timestamps=cfg.mode.with_timestamps,
+        repetition_penalty=sens.repetition_penalty,
+        beam_size=sens.beam_size,
+    )
+    thresholds = QualityThresholds(
+        logprob_threshold=sens.logprob_threshold,
+        no_speech_threshold=sens.no_speech_threshold,
+        compression_ratio_threshold=sens.compression_ratio_threshold,
+        temperatures=sens.temperatures + tuple(
+            t for t in (0.4, 0.6, 0.8, 1.0) if t > max(sens.temperatures)),
+    )
+    tokenizer = WhisperTokenizer(model_config,
+                                 find_tokenizer_files(checkpoint))
+    engine = TranscriptionEngine(
+        model_config, params, options=options, thresholds=thresholds,
+        batch_size=cfg.batch_size, mesh=mesh, tokenizer=tokenizer,
+    )
+    vad_kwargs = dict(cfg.vad_kwargs)
+    if cfg.mode.vad_backend == "energy":
+        vad_kwargs.setdefault("energy_db", sens.energy_vad_db)
+        vad_kwargs.setdefault("max_group_duration_s",
+                              sens.max_group_duration_s)
+    elif cfg.mode.vad_backend in ("silero", "silero-jax"):
+        vad_kwargs.setdefault("threshold", sens.vad_threshold)
+        vad_kwargs.setdefault("max_group_duration_s",
+                              sens.max_group_duration_s)
+    return TranscribePipeline(
+        engine,
+        scene_backend=cfg.mode.scene_backend,
+        vad_backend=cfg.mode.vad_backend,
+        scene_kwargs=cfg.scene_kwargs,
+        vad_kwargs=vad_kwargs,
+        language=cfg.language,
+        postprocessor=postprocessor,
+        tracer=tracer,
+    )

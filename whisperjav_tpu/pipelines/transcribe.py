@@ -1,0 +1,172 @@
+"""The unified transcription pipeline: media → scenes → VAD → batched
+decode → stitch → sanitize → SRT.
+
+This one pipeline covers the roles of the reference's faster/fast/
+balanced/fidelity pipelines (reference: whisperjav/pipelines/
+balanced_pipeline.py:270-637 and siblings): the mode presets differ only
+in model size, VAD backend, and sensitivity thresholds (see
+whisperjav_tpu.config.presets), not in code path — the TPU engine always
+runs the same fixed-shape batched program.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from whisperjav_tpu.modules.audio_io import WHISPER_SAMPLE_RATE
+from whisperjav_tpu.modules.audio_extraction import AudioExtractor
+from whisperjav_tpu.modules.media_discovery import MediaInfo
+from whisperjav_tpu.modules.scene_detection import create_scene_detector
+from whisperjav_tpu.modules.segmentation import create_segmenter
+from whisperjav_tpu.modules.segmentation.energy_vad import vad_failover_check
+from whisperjav_tpu.modules.srt import Subtitle, save_srt, stitch
+from whisperjav_tpu.parallel.batching import Window, windows_from_segmentation
+from whisperjav_tpu.pipelines.engine import TranscriptionEngine
+from whisperjav_tpu.utils.logger import logger
+
+
+@dataclass
+class PipelineResult:
+    media: MediaInfo
+    srt_path: Optional[Path]
+    subtitles: List[Subtitle]
+    metadata: Dict = field(default_factory=dict)
+
+
+class TranscribePipeline:
+    """Host orchestration around a TranscriptionEngine."""
+
+    def __init__(
+        self,
+        engine: TranscriptionEngine,
+        scene_backend: str = "energy",
+        vad_backend: str = "energy",
+        scene_kwargs: Optional[Dict] = None,
+        vad_kwargs: Optional[Dict] = None,
+        language: str = "ja",
+        postprocessor=None,          # SRTPostProcessor-compatible, optional
+        tracer=None,                 # ParameterTracer-compatible, optional
+        output_format: str = "srt",
+    ):
+        self.engine = engine
+        self.scene_detector = create_scene_detector(scene_backend,
+                                                    **(scene_kwargs or {}))
+        self.vad_backend = vad_backend
+        self.vad_kwargs = vad_kwargs or {}
+        self.language = language
+        self.postprocessor = postprocessor
+        self.tracer = tracer
+        self.output_format = output_format
+
+    # ------------------------------------------------------------------
+    def collect_windows(self, audio: np.ndarray,
+                        sample_rate: int) -> Tuple[List[Window], Dict]:
+        """Scene detection + per-scene VAD → flat window list."""
+        scene_result = self.scene_detector.detect(audio, sample_rate)
+        segmenter = create_segmenter(self.vad_backend, **self.vad_kwargs)
+        windows: List[Window] = []
+        vad_stats = {"scenes": len(scene_result.scenes), "groups": 0,
+                     "failovers": 0}
+        for scene in scene_result.scenes:
+            a = int(scene.start * sample_rate)
+            b = int(scene.end * sample_rate)
+            scene_audio = audio[a:b]
+            seg = segmenter.segment(scene_audio, sample_rate)
+            if vad_failover_check(seg):
+                # implausibly low coverage → full-clip transcription
+                # (reference: modules/vad_failover.py)
+                from whisperjav_tpu.modules.segmentation.energy_vad import (
+                    NullSegmenter,
+                )
+                seg = NullSegmenter().segment(scene_audio, sample_rate)
+                vad_stats["failovers"] += 1
+            windows.extend(windows_from_segmentation(audio, scene, seg,
+                                                     sample_rate))
+            vad_stats["groups"] += len(seg.groups)
+        stats = {"scene_backend": scene_result.backend,
+                 "scene_stats": scene_result.stats, **vad_stats,
+                 "windows": len(windows)}
+        return windows, stats
+
+    # ------------------------------------------------------------------
+    def process_audio(self, audio: np.ndarray,
+                      sample_rate: int = WHISPER_SAMPLE_RATE,
+                      seed: int = 0) -> Tuple[List[Subtitle], Dict]:
+        """Transcribe in-memory audio → globally-timed subtitles."""
+        t0 = time.time()
+        windows, stats = self.collect_windows(audio, sample_rate)
+        t_seg = time.time() - t0
+        if self.tracer:
+            self.tracer.event("segmentation", stats)
+
+        t0 = time.time()
+        results = self.engine.transcribe_windows(windows, seed=seed)
+        t_asr = time.time() - t0
+
+        scene_subs = []
+        for window, segments in results:
+            # defensive timestamp hardening: drop segments that start past
+            # the real audio, clamp ends into the window (reference does the
+            # analogous clamping in subtitle_pipeline/hardening.py:45)
+            subs = [Subtitle(0, s.start, min(s.end, window.duration), s.text)
+                    for s in segments
+                    if s.text.strip() and s.start < window.duration]
+            scene_subs.append((subs, window.abs_start))
+        subtitles = stitch(scene_subs)
+        stats.update({
+            "segmentation_s": round(t_seg, 3),
+            "asr_s": round(t_asr, 3),
+            "audio_s": round(len(audio) / sample_rate, 3),
+            "rtf_x": round((len(audio) / sample_rate) / max(t_asr, 1e-9), 2),
+            "raw_subtitles": len(subtitles),
+        })
+        return subtitles, stats
+
+    # ------------------------------------------------------------------
+    def process(self, media: MediaInfo, output_dir: Path,
+                seed: int = 0) -> PipelineResult:
+        """Full file pipeline, reference-compatible output naming
+        ``{basename}.{lang}.whisperjav.srt``."""
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        logger.info("processing %s", media.path.name)
+
+        extractor = AudioExtractor(WHISPER_SAMPLE_RATE)
+        audio, duration = extractor.extract(media.path)
+        if self.tracer:
+            self.tracer.event("file_start", {"file": str(media.path),
+                                             "duration": duration})
+
+        subtitles, stats = self.process_audio(audio, WHISPER_SAMPLE_RATE,
+                                              seed=seed)
+
+        sanitize_stats = {}
+        if self.postprocessor is not None:
+            subtitles, sanitize_stats = self.postprocessor.process(
+                subtitles, language=self.language)
+        stats["final_subtitles"] = len(subtitles)
+        stats["sanitization"] = sanitize_stats
+
+        srt_path = output_dir / f"{media.basename}.{self.language}.whisperjav.srt"
+        save_srt(srt_path, subtitles)
+
+        metadata = {
+            "input": str(media.path),
+            "duration_s": duration,
+            "output": str(srt_path),
+            "stats": stats,
+        }
+        meta_path = output_dir / f"{media.basename}.whisperjav.json"
+        meta_path.write_text(json.dumps(metadata, indent=2, default=str),
+                             encoding="utf-8")
+        if self.tracer:
+            self.tracer.event("file_complete", stats)
+        logger.info("wrote %s (%d subtitles, RTF %sx)", srt_path.name,
+                    len(subtitles), stats.get("rtf_x"))
+        return PipelineResult(media, srt_path, subtitles, metadata)
