@@ -1,0 +1,80 @@
+"""Benchmark: Whisper large-v2 batched transcription throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's headline number — faster-whisper (CTranslate2)
+large-v2 at ~15x realtime on an RTX 4090 (BASELINE.md). value is the
+realtime factor (audio seconds transcribed per wall second) of the
+TPU engine on fixed 30 s windows with a representative decode budget.
+
+Weights are random (no network egress): throughput is weight-value
+independent — the decode loop runs its full token budget per window,
+which slightly *understates* steady-state RTF versus real weights that
+emit EOT early.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_RTF = 15.0          # CUDA faster-whisper large-v2 on RTX 4090
+MODEL = "large-v2"
+BATCH = 16
+DECODE_TOKENS = 128          # representative tokens per 30 s JA window
+TIMED_BATCHES = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from whisperjav_tpu.models.whisper.config import WHISPER_SIZES
+    from whisperjav_tpu.models.whisper.decode import DecodeOptions
+    from whisperjav_tpu.models.whisper.model import init_params
+    from whisperjav_tpu.ops.mel import N_SAMPLES
+    from whisperjav_tpu.pipelines.engine import (
+        QualityThresholds, TranscriptionEngine,
+    )
+
+    config = WHISPER_SIZES[MODEL]
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    options = DecodeOptions(max_new_tokens=DECODE_TOKENS)
+    engine = TranscriptionEngine(
+        config, params, options=options,
+        thresholds=QualityThresholds(temperatures=(0.0,)),
+        batch_size=BATCH,
+    )
+
+    rng = np.random.default_rng(0)
+    t = np.arange(N_SAMPLES) / 16000.0
+    base = (0.3 * np.sin(2 * np.pi * 180 * t)
+            * (1 + 0.5 * np.sin(2 * np.pi * 4 * t)))
+    audio = np.stack([
+        (base + 0.05 * rng.standard_normal(N_SAMPLES)).astype(np.float32)
+        for _ in range(BATCH)])
+
+    # compile + warmup
+    res = engine.decode_batch(audio, 0.0, 0)
+    jax.block_until_ready(res.tokens)
+
+    t0 = time.time()
+    for i in range(TIMED_BATCHES):
+        res = engine.decode_batch(audio, 0.0, i + 1)
+    jax.block_until_ready(res.tokens)
+    wall = time.time() - t0
+
+    audio_seconds = TIMED_BATCHES * BATCH * 30.0
+    rtf = audio_seconds / wall
+    print(json.dumps({
+        "metric": f"whisper_{MODEL.replace('-', '_')}_rtf_per_chip",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / BASELINE_RTF, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)
