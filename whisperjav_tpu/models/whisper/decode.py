@@ -346,3 +346,171 @@ def extract_segments(
             tokens=cur_tokens, avg_logprob=avg_logprob,
             no_speech_prob=no_speech_prob))
     return segments
+
+
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+class _BeamState(NamedTuple):
+    step: jax.Array
+    tokens: jax.Array        # (B*k, total_len)
+    cache: KVCache           # (L, B*k, T, H, hd)
+    cur_logits: jax.Array    # (B*k, V)
+    cum_lp: jax.Array        # (B, k) cumulative logprob per live beam
+    length: jax.Array        # (B*k,)
+    finished: jax.Array      # (B*k,)
+    last_was_ts: jax.Array
+    penult_was_ts: jax.Array
+    max_ts: jax.Array
+
+
+def _length_norm(length: jax.Array, alpha: float) -> jax.Array:
+    """GNMT length penalty ((5+len)/6)^alpha — the CTranslate2 convention
+    behind faster-whisper's length_penalty option."""
+    return jnp.power((5.0 + length.astype(jnp.float32)) / 6.0, alpha)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "options",
+                                             "prompt_len"))
+def _beam_loop(params: Params, config: WhisperConfig, options: DecodeOptions,
+               tokens_init: jax.Array, prompt_len: int, cross: CrossKV,
+               cache: KVCache, prefill_logits: jax.Array,
+               sot_logits: jax.Array) -> DecodeResult:
+    k = options.beam_size
+    bk = tokens_init.shape[0]
+    b = bk // k
+    v = config.n_vocab
+    max_new = options.max_new_tokens
+    static_mask = jnp.asarray(_static_suppress_mask(config, options))
+    no_speech_prob = jax.nn.softmax(
+        sot_logits.reshape(b, k, v)[:, 0], axis=-1)[:, config.no_speech]
+
+    # symmetry breaking: only beam 0 is live initially
+    cum0 = jnp.tile(jnp.asarray([0.0] + [-1e30] * (k - 1), jnp.float32)[None],
+                    (b, 1))
+    state = _BeamState(
+        step=jnp.int32(0), tokens=tokens_init, cache=cache,
+        cur_logits=prefill_logits, cum_lp=cum0,
+        length=jnp.zeros((bk,), jnp.int32),
+        finished=jnp.zeros((bk,), jnp.bool_),
+        last_was_ts=jnp.zeros((bk,), jnp.bool_),
+        penult_was_ts=jnp.zeros((bk,), jnp.bool_),
+        max_ts=jnp.full((bk,), config.timestamp_begin, jnp.int32),
+    )
+
+    def cond(s: _BeamState):
+        return (s.step < max_new) & ~jnp.all(s.finished)
+
+    def body(s: _BeamState) -> _BeamState:
+        # rules need a _State-compatible view for the shared filter fn
+        pseudo = _State(step=s.step, tokens=s.tokens, cache=s.cache,
+                        cur_logits=s.cur_logits, sum_lp=None, length=s.length,
+                        finished=s.finished, last_was_ts=s.last_was_ts,
+                        penult_was_ts=s.penult_was_ts, max_ts=s.max_ts,
+                        rng=None)
+        logits = _apply_logit_rules(s.cur_logits, pseudo, config, options,
+                                    static_mask, prompt_len)
+        lp = jax.nn.log_softmax(logits, axis=-1)          # (B*k, V)
+        # finished beams: only EOT continuation at zero cost
+        eot_only = jnp.full((v,), -jnp.inf).at[config.eot].set(0.0)
+        lp = jnp.where(s.finished[:, None], eot_only[None, :], lp)
+
+        total = s.cum_lp.reshape(bk, 1) + lp              # (B*k, V)
+        scores, flat_idx = jax.lax.top_k(total.reshape(b, k * v), k)
+        beam_src = flat_idx // v                           # (B, k) in [0,k)
+        token = (flat_idx % v).astype(jnp.int32)           # (B, k)
+
+        # gather beam state along the beam axis
+        gidx = (jnp.arange(b)[:, None] * k + beam_src).reshape(bk)  # (B*k,)
+        tokens = jnp.take(s.tokens, gidx, axis=0)
+        cache = KVCache(jnp.take(s.cache.k, gidx, axis=1),
+                        jnp.take(s.cache.v, gidx, axis=1))
+        length = jnp.take(s.length, gidx)
+        finished = jnp.take(s.finished, gidx)
+        last_was_ts = jnp.take(s.last_was_ts, gidx)
+        penult_was_ts = jnp.take(s.penult_was_ts, gidx)
+        max_ts = jnp.take(s.max_ts, gidx)
+
+        tok_flat = token.reshape(bk)
+        tok_flat = jnp.where(finished, config.eot, tok_flat)
+        is_eot = tok_flat == config.eot
+        new_len = length + jnp.where(finished | is_eot, 0, 1)
+        new_fin = finished | is_eot
+
+        pos = prompt_len + s.step
+        tokens = jax.lax.dynamic_update_slice(tokens, tok_flat[:, None],
+                                              (0, pos))
+        is_ts = tok_flat >= config.timestamp_begin
+        new_max_ts = jnp.where(is_ts & ~finished,
+                               jnp.maximum(max_ts, tok_flat), max_ts)
+
+        next_logits, cache = decode_step(
+            params, config, tok_flat[:, None], pos, cache, cross)
+
+        return _BeamState(
+            step=s.step + 1, tokens=tokens, cache=cache,
+            cur_logits=next_logits[:, 0], cum_lp=scores,
+            length=new_len, finished=new_fin,
+            last_was_ts=jnp.where(finished, last_was_ts, is_ts),
+            penult_was_ts=jnp.where(finished, penult_was_ts, last_was_ts),
+            max_ts=new_max_ts,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    # pick best beam per batch by length-normalized score
+    norm = _length_norm(final.length.reshape(b, k), options.length_penalty)
+    norm_scores = final.cum_lp / norm
+    best = jnp.argmax(norm_scores, axis=1)                 # (B,)
+    sel = jnp.arange(b) * k + best
+    tokens = jnp.take(final.tokens, sel, axis=0)
+    length = jnp.take(final.length, sel)
+    sum_lp = jnp.take(final.cum_lp.reshape(bk), sel)
+
+    gen = jax.lax.dynamic_slice_in_dim(tokens, prompt_len, max_new, 1)
+    first_eot = jnp.argmax(gen == config.eot, axis=1)
+    has_eot = jnp.any(gen == config.eot, axis=1)
+    cut = jnp.where(has_eot, first_eot, max_new)
+    mask = jax.lax.broadcasted_iota(jnp.int32, gen.shape, 1) >= cut[:, None]
+    gen = jnp.where(mask, config.eot, gen)
+    avg_lp = sum_lp / (length.astype(jnp.float32) + 1.0)
+    return DecodeResult(gen, length, sum_lp, avg_lp, no_speech_prob)
+
+
+def decode_beam(
+    params: Params,
+    config: WhisperConfig,
+    xa: jax.Array,
+    options: DecodeOptions = DecodeOptions(beam_size=2),
+    prompt: Sequence[int] = (),
+) -> DecodeResult:
+    """Batched beam-search decode (lockstep beams, fixed shapes).
+
+    Beams run in the batch dimension (B*k rows) so the same compiled
+    encoder/decoder kernels serve greedy and beam; finished beams keep
+    emitting EOT at zero cost until all beams in all rows finish. Final
+    selection uses GNMT length-penalty normalization — the semantics the
+    reference's presets assume of CTranslate2 (beam 2-3, length_penalty 1).
+    """
+    k = options.beam_size
+    if k <= 1:
+        return decode_greedy(params, config, xa, options, prompt)
+    b = xa.shape[0]
+    init = initial_tokens(config, options, prompt)
+    prompt_len = len(init)
+    sot_pos = prompt_len - (3 if options.with_timestamps else 4)
+    total_len = prompt_len + options.max_new_tokens
+
+    xa_k = jnp.repeat(xa, k, axis=0)                       # (B*k, T, d)
+    cross = precompute_cross_kv(params, config, xa_k)
+    tokens = jnp.zeros((b * k, total_len), jnp.int32)
+    tokens = tokens.at[:, :prompt_len].set(jnp.asarray(init)[None, :])
+    cache = KVCache.zeros(config, b * k, total_len,
+                          params["decoder"]["tok_emb"].dtype)
+    prefill, cache = decode_step(
+        params, config,
+        jnp.broadcast_to(jnp.asarray(init)[None, :], (b * k, prompt_len)),
+        0, cache, cross)
+    return _beam_loop(params, config, options, tokens, prompt_len, cross,
+                      cache, prefill[:, -1], prefill[:, sot_pos])

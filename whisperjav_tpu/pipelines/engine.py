@@ -79,24 +79,44 @@ class TranscriptionEngine:
             return decode_greedy(params, config_, xa, options_,
                                  temperature=temperature, rng=rng)
 
+        def _run_beam(params, audio):
+            from whisperjav_tpu.models.whisper.decode import decode_beam
+            mel = log_mel_spectrogram(audio, n_mels=config_.n_mels)
+            xa = encode(params, config_, mel.astype(compute_dtype))
+            return decode_beam(params, config_, xa, options_)
+
         if mesh is not None:
             repl = NamedSharding(mesh, P())
             bsh = NamedSharding(mesh, P("data"))
             self.params = jax.device_put(self.params, repl)
+            out_sh = DecodeResult(bsh, bsh, bsh, bsh, bsh)
             self._fn = jax.jit(
                 _run,
                 in_shardings=(repl, bsh, repl, repl),
-                out_shardings=DecodeResult(bsh, bsh, bsh, bsh, bsh),
+                out_shardings=out_sh,
             )
+            self._fn_beam = jax.jit(
+                _run_beam, in_shardings=(repl, bsh), out_shardings=out_sh,
+            ) if options.beam_size > 1 else None
         else:
             self._fn = jax.jit(_run)
+            self._fn_beam = (jax.jit(_run_beam)
+                             if options.beam_size > 1 else None)
 
     # ------------------------------------------------------------------
     def decode_batch(self, audio: np.ndarray,
                      temperature: float = 0.0,
                      seed: int = 0) -> DecodeResult:
-        """audio (B, N_SAMPLES) float32 → DecodeResult (device)."""
+        """audio (B, N_SAMPLES) float32 → DecodeResult (device).
+
+        Beam search is used for the deterministic first pass (t=0) when the
+        preset requests beams; the temperature-fallback ladder samples via
+        the greedy program — same split faster-whisper makes between beam
+        and best-of sampling.
+        """
         assert audio.shape[1] == N_SAMPLES
+        if temperature == 0.0 and self._fn_beam is not None:
+            return self._fn_beam(self.params, jnp.asarray(audio))
         return self._fn(self.params, jnp.asarray(audio),
                         jnp.float32(temperature),
                         jax.random.PRNGKey(seed))
