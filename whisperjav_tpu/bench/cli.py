@@ -1,0 +1,56 @@
+"""``whisperjav-bench``: grade pipeline output against ground-truth SRT.
+
+Role parity with reference ``whisperjav/bench/cli.py:21-60`` — CER/IoU/
+drift/order report JSON with provenance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+from typing import List, Optional
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="whisperjav-bench",
+        description="grade subtitle output against ground truth")
+    p.add_argument("--ground-truth", "-g", required=True,
+                   help="ground-truth SRT file")
+    p.add_argument("--test", "-t", required=True, nargs="+",
+                   help="one or more test SRT files")
+    p.add_argument("--report", "-o", default=None,
+                   help="write the report JSON here (default: stdout)")
+    args = p.parse_args(argv)
+
+    from whisperjav_tpu.bench.metrics import evaluate
+    from whisperjav_tpu.modules.srt import load_srt
+    from whisperjav_tpu.version import __version__
+
+    gt = load_srt(args.ground_truth)
+    results = {}
+    for test_path in args.test:
+        test = load_srt(test_path)
+        results[test_path] = evaluate(gt, test).to_dict()
+
+    report = {
+        "provenance": {
+            "tool": f"whisperjav-tpu-bench {__version__}",
+            "ground_truth": str(Path(args.ground_truth).resolve()),
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        },
+        "results": results,
+    }
+    out = json.dumps(report, indent=2, ensure_ascii=False)
+    if args.report:
+        Path(args.report).write_text(out, encoding="utf-8")
+    else:
+        print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
