@@ -47,6 +47,11 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="override VAD backend (energy/silero/whisperseg/none)")
     p.add_argument("--scene-backend", default=None,
                    help="override scene backend (energy/semantic/none)")
+    p.add_argument("--enhancer", default=None,
+                   help="speech enhancement backend "
+                        "(none/dsp/zipenhancer)")
+    p.add_argument("--enhancer-weights", default=None,
+                   help=".npz weights for the enhancement model")
     p.add_argument("--no-sanitize", action="store_true",
                    help="skip subtitle sanitization")
     p.add_argument("--skip-existing", action="store_true",
@@ -89,11 +94,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from whisperjav_tpu.config.presets import resolve_pipeline_config
     task = "translate" if args.subs_language == "english-direct" else "transcribe"
+    enhancer_kwargs = ({"weights": args.enhancer_weights}
+                       if args.enhancer_weights else None)
     cfg = resolve_pipeline_config(
         mode=args.mode, sensitivity=args.sensitivity,
         language=args.language, task=task, model=args.model,
         batch_size=args.batch_size,
         vad_backend=args.vad_backend, scene_backend=args.scene_backend,
+        enhancer_backend=args.enhancer, enhancer_kwargs=enhancer_kwargs,
     )
 
     if args.dump_params:

@@ -99,6 +99,8 @@ class PipelineConfig:
     batch_size: int = 8
     scene_kwargs: Dict = field(default_factory=dict)
     vad_kwargs: Dict = field(default_factory=dict)
+    enhancer_backend: Optional[str] = None
+    enhancer_kwargs: Dict = field(default_factory=dict)
 
     @property
     def model(self) -> str:
@@ -140,4 +142,12 @@ def resolve_pipeline_config(
         cfg.scene_kwargs = clean["scene_kwargs"]
     if "vad_kwargs" in clean:
         cfg.vad_kwargs = clean["vad_kwargs"]
+    if "enhancer_backend" in clean:
+        cfg.enhancer_backend = clean["enhancer_backend"]
+    if "enhancer_kwargs" in clean:
+        cfg.enhancer_kwargs = clean["enhancer_kwargs"]
+    # fidelity mode enhances by default (reference: fidelity pipeline runs
+    # the enhancement phase; balanced can opt in via --enhancer)
+    if mode == "fidelity" and cfg.enhancer_backend is None:
+        cfg.enhancer_backend = "zipenhancer"
     return cfg

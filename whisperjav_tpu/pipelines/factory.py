@@ -92,6 +92,8 @@ def build_pipeline(
         scene_kwargs=cfg.scene_kwargs,
         vad_kwargs=vad_kwargs,
         language=cfg.language,
+        enhancer_backend=getattr(cfg, "enhancer_backend", None),
+        enhancer_kwargs=getattr(cfg, "enhancer_kwargs", None),
         postprocessor=postprocessor,
         tracer=tracer,
     )

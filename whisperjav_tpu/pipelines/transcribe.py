@@ -50,6 +50,8 @@ class TranscribePipeline:
         scene_kwargs: Optional[Dict] = None,
         vad_kwargs: Optional[Dict] = None,
         language: str = "ja",
+        enhancer_backend: Optional[str] = None,
+        enhancer_kwargs: Optional[Dict] = None,
         postprocessor=None,          # SRTPostProcessor-compatible, optional
         tracer=None,                 # ParameterTracer-compatible, optional
         output_format: str = "srt",
@@ -60,6 +62,12 @@ class TranscribePipeline:
         self.vad_backend = vad_backend
         self.vad_kwargs = vad_kwargs or {}
         self.language = language
+        from whisperjav_tpu.modules.enhancement import (
+            create_enhancer, is_passthrough_backend,
+        )
+        self.enhancer = (None if is_passthrough_backend(enhancer_backend)
+                         else create_enhancer(enhancer_backend,
+                                              **(enhancer_kwargs or {})))
         self.postprocessor = postprocessor
         self.tracer = tracer
         self.output_format = output_format
@@ -73,10 +81,20 @@ class TranscribePipeline:
         windows: List[Window] = []
         vad_stats = {"scenes": len(scene_result.scenes), "groups": 0,
                      "failovers": 0}
+        enhanced_ok = 0
         for scene in scene_result.scenes:
             a = int(scene.start * sample_rate)
             b = int(scene.end * sample_rate)
             scene_audio = audio[a:b]
+            if self.enhancer is not None:
+                from whisperjav_tpu.modules.enhancement import enhance_scenes
+                res = enhance_scenes(self.enhancer, [scene_audio],
+                                     sample_rate)[0]
+                if res.success:
+                    scene_audio = res.audio
+                    audio = audio.copy() if enhanced_ok == 0 else audio
+                    audio[a:a + len(scene_audio)] = scene_audio[:b - a]
+                    enhanced_ok += 1
             seg = segmenter.segment(scene_audio, sample_rate)
             if vad_failover_check(seg):
                 # implausibly low coverage → full-clip transcription
@@ -91,6 +109,7 @@ class TranscribePipeline:
             vad_stats["groups"] += len(seg.groups)
         stats = {"scene_backend": scene_result.backend,
                  "scene_stats": scene_result.stats, **vad_stats,
+                 "enhanced_scenes": enhanced_ok,
                  "windows": len(windows)}
         return windows, stats
 
