@@ -54,6 +54,20 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help=".npz weights for the enhancement model")
     p.add_argument("--no-sanitize", action="store_true",
                    help="skip subtitle sanitization")
+    p.add_argument("--ensemble", action="store_true",
+                   help="two-pass ensemble mode")
+    p.add_argument("--pass1-mode", default=None,
+                   help="ensemble pass-1 mode (default: --mode)")
+    p.add_argument("--pass1-sensitivity", default=None)
+    p.add_argument("--pass2-mode", default=None,
+                   help="ensemble pass-2 mode (default: --mode)")
+    p.add_argument("--pass2-sensitivity", default="aggressive")
+    p.add_argument("--merge-strategy", default="smart_merge",
+                   choices=["pass1_primary", "pass2_primary",
+                            "pass1_overlap", "pass2_overlap",
+                            "smart_merge", "full_merge", "longest"])
+    p.add_argument("--ensemble-serial", action="store_true",
+                   help="process files one at a time through both passes")
     p.add_argument("--skip-existing", action="store_true",
                    help="skip files whose output SRT already exists")
     p.add_argument("--make-vtt", action="store_true",
@@ -148,6 +162,31 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not args.no_sanitize:
         from whisperjav_tpu.modules.sanitize import SRTPostProcessor
         postprocessor = SRTPostProcessor()
+
+    if args.ensemble:
+        from whisperjav_tpu.ensemble.orchestrator import EnsembleOrchestrator
+        cfg1 = resolve_pipeline_config(
+            mode=args.pass1_mode or args.mode,
+            sensitivity=args.pass1_sensitivity or args.sensitivity,
+            language=args.language, task=task, model=args.model,
+            batch_size=args.batch_size)
+        cfg2 = resolve_pipeline_config(
+            mode=args.pass2_mode or args.mode,
+            sensitivity=args.pass2_sensitivity,
+            language=args.language, task=task, model=args.model,
+            batch_size=args.batch_size)
+        orch = EnsembleOrchestrator(cfg1, cfg2,
+                                    merge_strategy=args.merge_strategy,
+                                    checkpoint=args.checkpoint,
+                                    postprocessor=postprocessor,
+                                    serial_mode=args.ensemble_serial)
+        summary = orch.process_batch(media, output_dir)
+        if args.stats_file:
+            Path(args.stats_file).write_text(
+                json.dumps(summary, indent=2, default=str), encoding="utf-8")
+        logger.info("ensemble done: %d ok, %d degraded, %d failed",
+                    summary["ok"], summary["degraded"], summary["failed"])
+        return 0 if summary["failed"] == 0 else 2
 
     from whisperjav_tpu.pipelines.factory import build_pipeline
     pipeline = build_pipeline(cfg, checkpoint=args.checkpoint,
