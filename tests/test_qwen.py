@@ -1,0 +1,125 @@
+"""Tests for the Qwen3-ASR-class model and ForcedAligner."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisperjav_tpu.models.qwen.aligner import (
+    AlignerConfig, ForcedAligner, merge_master_with_timestamps,
+    monotonic_align,
+)
+from whisperjav_tpu.models.qwen.model import (
+    QWEN_SIZES, QwenASRConfig, encode_audio, generate, init_params,
+    lm_step, LMCache, token_budget,
+)
+
+CFG = QwenASRConfig()   # test-size config
+
+
+@pytest.fixture(scope="module")
+def qwen_model():
+    return init_params(CFG, jax.random.PRNGKey(0))
+
+
+def test_audio_tower_shapes(qwen_model):
+    mel = jnp.zeros((2, 128, 400), jnp.float32)
+    emb = encode_audio(qwen_model, CFG, mel)
+    assert emb.shape == (2, 100, CFG.d_model)   # /4 downsampling
+    assert bool(jnp.isfinite(emb).all())
+
+
+def test_lm_incremental_matches_full(qwen_model):
+    """KV-cached chunked LM forward == one full pass."""
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 10)).astype(np.int32))
+    emb = qwen_model["tok_emb"][ids]
+    cache = LMCache.zeros(CFG, 2, 10, jnp.float32)
+    full, _ = lm_step(qwen_model, CFG, emb, 0, cache)
+
+    cache = LMCache.zeros(CFG, 2, 10, jnp.float32)
+    l1, cache = lm_step(qwen_model, CFG, emb[:, :4], 0, cache)
+    l2, cache = lm_step(qwen_model, CFG, emb[:, 4:], 4, cache)
+    stepped = jnp.concatenate([l1, l2], axis=1)
+    assert float(jnp.max(jnp.abs(stepped - full))) < 1e-3
+
+
+def test_generate_structure(qwen_model):
+    mel = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 128, 400)).astype(np.float32))
+    res = generate(qwen_model, CFG, mel, max_new=12, audio_len=100,
+                   repetition_penalty=1.3)
+    toks = np.asarray(res.tokens)
+    assert toks.shape == (2, 12)
+    assert np.isfinite(np.asarray(res.avg_logprob)).all()
+    # eos padding invariant
+    for row in toks:
+        seen = False
+        for t in row:
+            if seen:
+                assert t == CFG.eos_id
+            if t == CFG.eos_id:
+                seen = True
+
+
+def test_token_budget():
+    assert token_budget(CFG, 10.0) == 120
+    assert token_budget(CFG, 1.0) == CFG.min_token_budget   # floor
+
+
+def test_sizes_registry():
+    assert "qwen3-asr-1.7b" in QWEN_SIZES
+    big = QWEN_SIZES["qwen3-asr-1.7b"]
+    assert big.n_kv_heads < big.n_heads   # GQA
+
+
+class TestMonotonicAlign:
+    def test_diagonal_preference(self):
+        # log-probs strongly diagonal → near-even spans
+        n, t = 4, 12
+        lp = np.full((n, t), -10.0)
+        for i in range(n):
+            lp[i, i * 3:(i + 1) * 3] = 0.0
+        spans = monotonic_align(lp)
+        assert len(spans) == 4
+        assert spans[0][0] == 0
+        assert spans[-1][1] == t
+        # monotonic non-overlapping coverage
+        for (a1, b1), (a2, b2) in zip(spans[:-1], spans[1:]):
+            assert b1 == a2
+            assert b1 > a1
+
+    def test_degenerate_fewer_frames(self):
+        spans = monotonic_align(np.zeros((5, 3)))
+        assert len(spans) == 5
+        assert all(b > a for a, b in spans)
+
+    def test_empty(self):
+        assert monotonic_align(np.zeros((0, 10))) == []
+
+
+def test_forced_aligner_end_to_end():
+    aligner = ForcedAligner(AlignerConfig(n_layers=2, d_model=64, n_heads=4))
+    mel = np.random.default_rng(2).standard_normal((128, 200)).astype(np.float32)
+    spans = aligner.align(mel, [5, 17, 99, 3])
+    assert len(spans) == 4
+    # monotonic, inside the audio
+    for s in spans:
+        assert 0 <= s.start <= s.end <= 200 / 4 * 0.04 + 1e-6
+    for a, b in zip(spans[:-1], spans[1:]):
+        assert b.start >= a.start
+
+
+def test_merge_master_with_timestamps():
+    from whisperjav_tpu.models.qwen.aligner import TokenSpan
+    master = "こんにちは、世界！"
+    aligned = [TokenSpan(1, 0.0, 0.5), TokenSpan(2, 0.6, 1.0)]
+    token_texts = ["こんにちは", "世界"]
+    pieces = merge_master_with_timestamps(master, aligned, token_texts)
+    joined = "".join(p[0] for p in pieces)
+    assert joined == master
+    # punctuation got timestamps between/after the word spans
+    assert pieces[0] == ("こんにちは", 0.0, 0.5)
+    assert pieces[1][0] == "、"
+    assert pieces[-1][0] == "！"
