@@ -1,0 +1,207 @@
+"""Tests for the decoupled subtitle pipeline (ChronosJAV stack)."""
+
+import numpy as np
+import pytest
+
+from whisperjav_tpu.modules.srt import Subtitle
+from whisperjav_tpu.modules.subtitle_pipeline.components import (
+    AssemblyTextCleaner, FullSceneFramer, NullAligner, QwenAlignerAdapter,
+    QwenGenerator, VadGroupedFramer, create_framer,
+)
+from whisperjav_tpu.modules.subtitle_pipeline.hardening import harden_words
+from whisperjav_tpu.modules.subtitle_pipeline.orchestrator import (
+    DecoupledSubtitlePipeline,
+)
+from whisperjav_tpu.modules.subtitle_pipeline.reconstruction import (
+    RegroupConfig, regroup_words,
+)
+from whisperjav_tpu.modules.subtitle_pipeline.sentinel import (
+    assess_alignment_quality, redistribute_collapsed_words,
+)
+from whisperjav_tpu.modules.subtitle_pipeline.types import (
+    HardeningConfig, RegroupMode, TimestampMode, TranscriptionResult,
+    WordTimestamp,
+)
+
+SR = 16000
+
+
+def W(word, start, end):
+    return WordTimestamp(word, start, end)
+
+
+class TestSentinel:
+    def test_healthy_alignment(self):
+        words = [W("こ", 0.0, 0.4), W("ん", 0.5, 0.9), W("に", 1.0, 1.4),
+                 W("ち", 1.5, 1.9)]
+        q = assess_alignment_quality(words, 2.0)
+        assert not q.collapsed
+
+    def test_null_collapse(self):
+        words = [W("a", None, None)] * 5 + [W("b", 0.1, 0.2)]
+        q = assess_alignment_quality(words, 5.0)
+        assert q.collapsed
+        assert "null" in q.reason
+
+    def test_pileup_collapse(self):
+        words = [W(c, 0.0, 0.01) for c in "あいうえおかきく"]
+        q = assess_alignment_quality(words, 10.0)
+        assert q.collapsed
+
+    def test_redistribute_vad_guided(self):
+        words = [W("あ", None, None), W("い", None, None),
+                 W("う", None, None), W("え", None, None)]
+        out = redistribute_collapsed_words(words, 10.0,
+                                           [(1.0, 3.0), (6.0, 8.0)])
+        assert len(out) == 4
+        assert out[0].start == pytest.approx(1.0)
+        assert out[-1].end == pytest.approx(8.0)
+        # monotonic
+        for a, b in zip(out[:-1], out[1:]):
+            assert b.start >= a.start
+
+
+class TestHardening:
+    def test_interpolation(self):
+        words = [W("一", 0.0, 1.0), W("二", None, None), W("三", None, None),
+                 W("四", 3.0, 4.0)]
+        out, actions = harden_words(
+            words, 10.0,
+            HardeningConfig(TimestampMode.ALIGNER_INTERPOLATION))
+        assert actions >= 2
+        assert out[1].start == pytest.approx(1.0)
+        assert out[2].end == pytest.approx(3.0)
+
+    def test_vad_fallback_for_hopeless(self):
+        words = [W("一", None, None), W("二", None, None)]
+        out, _ = harden_words(
+            words, 4.0, HardeningConfig(TimestampMode.ALIGNER_VAD_FALLBACK),
+            speech_regions=[(1.0, 3.0)])
+        assert all(w.start is not None for w in out)
+        assert out[0].start >= 1.0 - 1e-6
+
+    def test_aligner_only_drops(self):
+        words = [W("一", 0.0, 1.0), W("二", None, None)]
+        out, _ = harden_words(words, 5.0,
+                              HardeningConfig(TimestampMode.ALIGNER_ONLY))
+        assert len(out) == 1
+
+    def test_clamps_to_scene(self):
+        words = [W("一", -1.0, 20.0)]
+        out, _ = harden_words(words, 5.0, HardeningConfig())
+        assert out[0].start >= 0.0 and out[0].end <= 5.0
+
+
+class TestReconstruction:
+    def test_gap_split(self):
+        words = [W("前", 0.0, 0.5), W("半", 0.5, 1.0),
+                 W("後", 3.0, 3.5), W("半", 3.5, 4.0)]
+        cues = regroup_words(words)
+        assert len(cues) == 2
+        assert cues[0].text == "前半"
+        assert cues[1].text == "後半"
+
+    def test_sentence_split(self):
+        words = [W("終わり。", 0.0, 1.0), W("次", 1.1, 1.5)]
+        cues = regroup_words(words, RegroupMode.SENTENCE_ONLY)
+        assert len(cues) == 2
+
+    def test_off_mode_single_cue(self):
+        words = [W("あ", 0.0, 0.5), W("い", 2.0, 2.5)]
+        cues = regroup_words(words, RegroupMode.OFF)
+        assert len(cues) == 1
+
+    def test_char_cap(self):
+        words = [W("あいうえ", i * 0.5, i * 0.5 + 0.4) for i in range(20)]
+        cues = regroup_words(words, config=RegroupConfig(max_cue_chars=12))
+        assert all(len(c.text) <= 12 for c in cues)
+
+
+def speech_like(duration_s, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(duration_s * SR)
+    t = np.arange(n) / SR
+    x = 0.3 * np.sin(2 * np.pi * 180 * t) * (1 + 0.5 * np.sin(2 * np.pi * 4 * t))
+    return (x + 0.05 * rng.standard_normal(n)).astype(np.float32)
+
+
+def test_framers():
+    audio = np.concatenate([speech_like(3), np.zeros(SR, np.float32),
+                            speech_like(3, 1)])
+    fr = VadGroupedFramer(vad_backend="energy").frame(audio, SR, 6.0)
+    assert fr.frames
+    assert fr.speech_regions
+    assert all(f.duration <= 6.0 + 1e-6 for f in fr.frames)
+
+    fr2 = FullSceneFramer().frame(audio, SR, 3.0)
+    assert len(fr2.frames) == 3
+
+    fr3 = create_framer("manual", boundaries=[(0.0, 2.0), (4.0, 6.0)]
+                        ).frame(audio, SR, 6.0)
+    assert len(fr3.frames) == 2
+
+
+def test_assembly_cleaner():
+    cleaner = AssemblyTextCleaner()
+    results = [
+        TranscriptionResult(0, "そうだだだだだだだ、ね。"),
+        TranscriptionResult(1, "ご視聴ありがとうございました"),
+    ]
+    out = cleaner.clean_batch(results)
+    assert "、" in out[0].text          # punctuation preserved
+    assert len(out[0].text) < len(results[0].text)
+    assert out[1].text == ""            # hallucination emptied
+    assert out[1].raw_text == results[1].text
+
+
+@pytest.mark.slow
+def test_decoupled_pipeline_end_to_end():
+    """Full frame→generate→clean→align→harden→regroup flow with tiny
+    random models: output must be structurally valid subtitles."""
+    audio = np.concatenate([speech_like(2), np.zeros(SR // 2, np.float32),
+                            speech_like(2, 1)])
+    pipe = DecoupledSubtitlePipeline(
+        framer=VadGroupedFramer(vad_backend="energy"),
+        generator=QwenGenerator(model_size="qwen3-asr-test", batch_size=2),
+        cleaner=AssemblyTextCleaner(),
+        aligner=QwenAlignerAdapter(),
+        max_group_s=3.0,
+    )
+    outputs = pipe.process_scenes([audio], SR)
+    assert len(outputs) == 1
+    out = outputs[0]
+    assert out.diagnostics.frames >= 1
+    dur = len(audio) / SR
+    for s in out.subtitles:
+        assert 0 <= s.start <= s.end <= dur + 1e-6
+    d = out.diagnostics.to_dict()
+    assert d["schema_version"] == "2.0.0"
+
+
+def test_decoupled_pipeline_null_aligner():
+    """VAD_ONLY hardening path with the null aligner."""
+    audio = speech_like(3)
+    pipe = DecoupledSubtitlePipeline(
+        framer=FullSceneFramer(),
+        generator=_FakeGenerator(),
+        cleaner=AssemblyTextCleaner(),
+        aligner=NullAligner(),
+        max_group_s=3.0,
+        hardening=HardeningConfig(TimestampMode.VAD_ONLY),
+    )
+    outputs = pipe.process_scenes([audio], SR)
+    subs = outputs[0].subtitles
+    assert subs
+    assert all(s.end <= 3.0 + 1e-6 for s in subs)
+
+
+class _FakeGenerator:
+    name = "fake"
+
+    def load(self): ...
+
+    def unload(self): ...
+
+    def generate_batch(self, clips, sr):
+        return [TranscriptionResult(i, "こんにちは世界です")
+                for i in range(len(clips))]

@@ -26,7 +26,7 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="media files, directories, or glob patterns")
     p.add_argument("--mode", default="balanced",
                    choices=["faster", "fast", "balanced", "fidelity",
-                            "transformers"],
+                            "transformers", "qwen", "anime"],
                    help="pipeline mode preset")
     p.add_argument("--sensitivity", default="balanced",
                    choices=["conservative", "balanced", "aggressive"],
@@ -188,9 +188,33 @@ def main(argv: Optional[List[str]] = None) -> int:
                     summary["ok"], summary["degraded"], summary["failed"])
         return 0 if summary["failed"] == 0 else 2
 
-    from whisperjav_tpu.pipelines.factory import build_pipeline
-    pipeline = build_pipeline(cfg, checkpoint=args.checkpoint,
-                              postprocessor=postprocessor, tracer=tracer)
+    if cfg.mode.name == "qwen":
+        from whisperjav_tpu.modules.subtitle_pipeline.components import (
+            AssemblyTextCleaner, QwenAlignerAdapter, QwenGenerator,
+            VadGroupedFramer,
+        )
+        from whisperjav_tpu.modules.subtitle_pipeline.orchestrator import (
+            DecoupledSubtitlePipeline,
+        )
+        from whisperjav_tpu.pipelines.qwen import QwenPipeline
+        model_size = (cfg.model if cfg.model.startswith("qwen")
+                      else "qwen3-asr-1.7b")
+        decoupled = DecoupledSubtitlePipeline(
+            framer=VadGroupedFramer(vad_backend=cfg.mode.vad_backend),
+            generator=QwenGenerator(model_size=model_size,
+                                    batch_size=cfg.batch_size),
+            cleaner=AssemblyTextCleaner(),
+            aligner=QwenAlignerAdapter(),
+            max_group_s=cfg.sensitivity.max_group_duration_s,
+        )
+        pipeline = QwenPipeline(decoupled,
+                                scene_backend=cfg.mode.scene_backend,
+                                enhancer_backend=cfg.enhancer_backend,
+                                language=cfg.language)
+    else:
+        from whisperjav_tpu.pipelines.factory import build_pipeline
+        pipeline = build_pipeline(cfg, checkpoint=args.checkpoint,
+                                  postprocessor=postprocessor, tracer=tracer)
 
     batch_stats = []
     failures = 0

@@ -85,6 +85,14 @@ MODE_PRESETS: Dict[str, ModePreset] = {
     "transformers": ModePreset("transformers", model="large-v2",
                                scene_backend="energy", vad_backend="none",
                                description="chunked long-form decode"),
+    # reference: qwen → ChronosJAV decoupled assembly pipeline
+    "qwen": ModePreset("qwen", model="qwen3-asr-1.7b",
+                       scene_backend="semantic", vad_backend="whisperseg",
+                       description="decoupled generate+align assembly"),
+    # reference: anime → anime-whisper (Whisper fine-tune) + TEN-class VAD
+    "anime": ModePreset("anime", model="large-v2", scene_backend="energy",
+                        vad_backend="silero",
+                        description="anime-whisper fine-tune decode"),
 }
 
 

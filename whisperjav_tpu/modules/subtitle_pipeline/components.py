@@ -1,0 +1,351 @@
+"""Concrete framers / generators / cleaners / aligners + factories.
+
+Parity targets in the reference tree:
+- framers: vad-grouped / full-scene / manual / srt-source
+  (whisperjav/modules/subtitle_pipeline/framers/, factory.py)
+- generators: qwen3 text-only, whisper-based (the reference's
+  anime-whisper is a Whisper fine-tune consumed the same way —
+  generators/anime_whisper.py:1-26)
+- cleaners: assembly text cleaner run BEFORE alignment, preserving
+  punctuation for the aligner (modules/assembly_text_cleaner.py:1-11);
+  passthrough
+- aligners: qwen3 ForcedAligner adapter (aligners/qwen3.py:19), none
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from whisperjav_tpu.modules.subtitle_pipeline.types import (
+    AlignmentResult, FramingResult, TemporalFrame, TranscriptionResult,
+    WordTimestamp,
+)
+from whisperjav_tpu.utils.logger import logger
+
+
+# ---------------------------------------------------------------------------
+# framers
+# ---------------------------------------------------------------------------
+
+class VadGroupedFramer:
+    """Frames = VAD groups; raw speech regions kept for sentinel recovery."""
+
+    name = "vad-grouped"
+
+    def __init__(self, vad_backend: str = "silero", **vad_kwargs):
+        self.vad_backend = vad_backend
+        self.vad_kwargs = vad_kwargs
+
+    def frame(self, audio: np.ndarray, sample_rate: int,
+              max_group_s: float) -> FramingResult:
+        from whisperjav_tpu.modules.segmentation import create_segmenter
+        seg = create_segmenter(self.vad_backend,
+                               max_group_duration_s=max_group_s,
+                               **self.vad_kwargs).segment(audio, sample_rate)
+        frames = [
+            TemporalFrame(i, g.start, g.end,
+                          [(s.start - g.start, s.end - g.start)
+                           for s in g.segments])
+            for i, g in enumerate(seg.groups)
+        ]
+        return FramingResult(frames, self.name,
+                             len(audio) / sample_rate,
+                             [(s.start, s.end) for s in seg.segments])
+
+
+class FullSceneFramer:
+    name = "full-scene"
+
+    def frame(self, audio, sample_rate, max_group_s) -> FramingResult:
+        dur = len(audio) / sample_rate
+        n = max(1, int(np.ceil(dur / max_group_s)))
+        step = dur / n
+        frames = [TemporalFrame(i, i * step, min((i + 1) * step, dur))
+                  for i in range(n)]
+        return FramingResult(frames, self.name, dur)
+
+
+class ManualFramer:
+    name = "manual"
+
+    def __init__(self, boundaries: Sequence[Tuple[float, float]]):
+        self.boundaries = list(boundaries)
+
+    def frame(self, audio, sample_rate, max_group_s) -> FramingResult:
+        dur = len(audio) / sample_rate
+        frames = [TemporalFrame(i, max(a, 0.0), min(b, dur))
+                  for i, (a, b) in enumerate(self.boundaries)]
+        return FramingResult(frames, self.name, dur)
+
+
+class SrtSourceFramer:
+    """Frames from an existing SRT's cue times (re-alignment workflows)."""
+
+    name = "srt-source"
+
+    def __init__(self, srt_path: str):
+        self.srt_path = srt_path
+
+    def frame(self, audio, sample_rate, max_group_s) -> FramingResult:
+        from whisperjav_tpu.modules.srt import load_srt
+        dur = len(audio) / sample_rate
+        subs = load_srt(self.srt_path)
+        frames = [TemporalFrame(i, max(s.start, 0.0), min(s.end, dur))
+                  for i, s in enumerate(subs) if s.start < dur]
+        return FramingResult(frames, self.name, dur)
+
+
+def create_framer(backend: str = "vad-grouped", **kwargs):
+    b = (backend or "vad-grouped").lower()
+    if b in ("vad-grouped", "vad"):
+        return VadGroupedFramer(**kwargs)
+    if b in ("full-scene", "full"):
+        return FullSceneFramer()
+    if b == "manual":
+        return ManualFramer(**kwargs)
+    if b in ("srt-source", "srt"):
+        return SrtSourceFramer(**kwargs)
+    logger.warning("unknown framer %r; using vad-grouped", backend)
+    return VadGroupedFramer()
+
+
+# ---------------------------------------------------------------------------
+# generators
+# ---------------------------------------------------------------------------
+
+class QwenGenerator:
+    """Qwen3-ASR text-only generation (reference: generators/qwen3)."""
+
+    name = "qwen3"
+
+    def __init__(self, model_size: str = "qwen3-asr-test",
+                 params=None, tokenizer=None, batch_size: int = 4,
+                 repetition_penalty: float = 1.1):
+        from whisperjav_tpu.models.qwen.model import QWEN_SIZES
+        self.cfg = QWEN_SIZES[model_size]
+        self._params = params
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.repetition_penalty = repetition_penalty
+
+    def load(self) -> None:
+        if self._params is None:
+            import jax
+            from whisperjav_tpu.models.qwen.model import init_params
+            logger.warning("qwen generator: random-init %s weights",
+                           self.cfg.name)
+            self._params = init_params(self.cfg, jax.random.PRNGKey(0))
+
+    def unload(self) -> None:
+        self._params = None   # API-compat hook; XLA manages HBM
+
+    def _decode_text(self, ids: np.ndarray, length: int) -> str:
+        ids = [int(t) for t in ids[:length]]
+        if self.tokenizer is not None:
+            return self.tokenizer.decode(ids)
+        kana = ("あいうえおかきくけこさしすせそたちつてとなにぬねのはひふへほ"
+                "まみむめもやゆよらりるれろわをん")
+        return "".join(kana[i % len(kana)] for i in ids)
+
+    def generate_batch(self, clips, sample_rate) -> List[TranscriptionResult]:
+        import jax.numpy as jnp
+        from whisperjav_tpu.models.qwen.model import generate, token_budget
+        from whisperjav_tpu.ops.mel import log_mel_spectrogram
+        assert self._params is not None, "call load() first"
+        out: List[TranscriptionResult] = []
+        max_len = max((len(c) for c in clips), default=0)
+        # pad to a whole number of 640-sample (4-mel-frame) units
+        unit = 640
+        max_len = ((max_len + unit - 1) // unit) * unit or unit
+        budget = token_budget(self.cfg, max_len / sample_rate)
+        for i in range(0, len(clips), self.batch_size):
+            chunk = clips[i:i + self.batch_size]
+            buf = np.zeros((self.batch_size, max_len), np.float32)
+            for r, c in enumerate(chunk):
+                buf[r, :len(c)] = c
+            mel = log_mel_spectrogram(jnp.asarray(buf),
+                                      n_mels=self.cfg.n_mels)
+            res = generate(self._params, self.cfg, mel, max_new=budget,
+                           audio_len=mel.shape[-1] // 4,
+                           repetition_penalty=self.repetition_penalty)
+            toks = np.asarray(res.tokens)
+            lens = np.asarray(res.length)
+            lps = np.asarray(res.avg_logprob)
+            for r in range(len(chunk)):
+                out.append(TranscriptionResult(
+                    frame_index=i + r,
+                    text=self._decode_text(toks[r], int(lens[r])),
+                    avg_logprob=float(lps[r])))
+        return out
+
+
+class WhisperGenerator:
+    """Whisper-as-generator (covers the reference's anime-whisper slot:
+    a Whisper fine-tune decoded greedily without prompts)."""
+
+    name = "whisper"
+
+    def __init__(self, engine=None):
+        self.engine = engine   # a TranscriptionEngine
+
+    def load(self) -> None:
+        assert self.engine is not None, "WhisperGenerator needs an engine"
+
+    def unload(self) -> None:
+        pass
+
+    def generate_batch(self, clips, sample_rate) -> List[TranscriptionResult]:
+        from whisperjav_tpu.parallel.batching import Window
+        windows = [Window(np.asarray(c, np.float32), 0.0,
+                          len(c) / sample_rate, scene_idx=0, group_idx=i)
+                   for i, c in enumerate(clips)]
+        results = self.engine.transcribe_windows(windows)
+        out = []
+        for w, segs in results:
+            text = "".join(s.text for s in segs)
+            lp = float(np.mean([s.avg_logprob for s in segs])) if segs else 0.0
+            out.append(TranscriptionResult(w.group_idx, text, lp))
+        out.sort(key=lambda r: r.frame_index)
+        return out
+
+
+def create_generator(backend: str = "qwen3", **kwargs):
+    b = (backend or "qwen3").lower()
+    if b in ("qwen3", "qwen"):
+        return QwenGenerator(**kwargs)
+    if b in ("whisper", "anime-whisper", "anime_whisper"):
+        return WhisperGenerator(**kwargs)
+    logger.warning("unknown generator %r; using qwen3", backend)
+    return QwenGenerator(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# cleaners
+# ---------------------------------------------------------------------------
+
+class AssemblyTextCleaner:
+    """Pre-alignment raw-text cleaning: collapse repetition noise but
+    PRESERVE punctuation — the aligner's tokenizer needs it (reference:
+    assembly_text_cleaner.py:1-11)."""
+
+    name = "assembly"
+
+    def __init__(self):
+        from whisperjav_tpu.modules.sanitize.hallucinations import (
+            HallucinationRemover,
+        )
+        from whisperjav_tpu.modules.sanitize.repetition import (
+            RepetitionCleaner,
+        )
+        self.hallucinations = HallucinationRemover("ja")
+        self.repetitions = RepetitionCleaner()
+
+    def clean_batch(self, results) -> List[TranscriptionResult]:
+        out = []
+        for r in results:
+            text = r.text
+            if self.hallucinations.is_hallucination(text):
+                text = ""
+            else:
+                text, _ = self.repetitions.clean(text)
+            out.append(TranscriptionResult(r.frame_index, text,
+                                           r.avg_logprob, raw_text=r.text))
+        return out
+
+
+class PassthroughCleaner:
+    name = "passthrough"
+
+    def clean_batch(self, results) -> List[TranscriptionResult]:
+        return list(results)
+
+
+def create_cleaner(backend: str = "assembly", **kwargs):
+    b = (backend or "assembly").lower()
+    if b in ("assembly", "qwen3", "anime_whisper"):
+        return AssemblyTextCleaner()
+    return PassthroughCleaner()
+
+
+# ---------------------------------------------------------------------------
+# aligners
+# ---------------------------------------------------------------------------
+
+class QwenAlignerAdapter:
+    """ForcedAligner adapter producing per-word timestamps (reference:
+    aligners/qwen3.py:19 — fresh instance per load, merge_master step)."""
+
+    name = "qwen3"
+
+    def __init__(self, aligner=None, tokenizer=None):
+        self._aligner = aligner
+        self.tokenizer = tokenizer
+
+    def load(self) -> None:
+        if self._aligner is None:
+            from whisperjav_tpu.models.qwen.aligner import ForcedAligner
+            self._aligner = ForcedAligner()
+
+    def unload(self) -> None:
+        self._aligner = None
+
+    def _tokenize(self, text: str) -> Tuple[List[int], List[str]]:
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(text)
+            pieces = [self.tokenizer.decode([i]) for i in ids]
+            return ids, pieces
+        # char-level fallback tokenization (deterministic)
+        pieces = [c for c in text if not c.isspace()]
+        ids = [(ord(c) * 31) % 4096 for c in pieces]
+        return ids, pieces
+
+    def align_batch(self, clips, sample_rate, texts) -> List[AlignmentResult]:
+        import jax.numpy as jnp
+        from whisperjav_tpu.ops.mel import log_mel_spectrogram
+        assert self._aligner is not None, "call load() first"
+        out: List[AlignmentResult] = []
+        for i, (clip, text) in enumerate(zip(clips, texts)):
+            if not text.strip():
+                out.append(AlignmentResult(i, []))
+                continue
+            unit = 640
+            n = ((len(clip) + unit - 1) // unit) * unit or unit
+            buf = np.zeros(n, np.float32)
+            buf[:len(clip)] = clip
+            mel = np.asarray(log_mel_spectrogram(
+                jnp.asarray(buf[None]), n_mels=self._aligner.cfg.n_mels))[0]
+            ids, pieces = self._tokenize(text)
+            spans = self._aligner.align(mel, ids)
+            words = [WordTimestamp(piece, s.start, s.end)
+                     for piece, s in zip(pieces, spans)]
+            out.append(AlignmentResult(i, words))
+        return out
+
+
+class NullAligner:
+    """No alignment: words get null timestamps (hardening resolves them
+    via VAD/proportional modes)."""
+
+    name = "none"
+
+    def load(self) -> None: ...
+
+    def unload(self) -> None: ...
+
+    def align_batch(self, clips, sample_rate, texts) -> List[AlignmentResult]:
+        out = []
+        for i, text in enumerate(texts):
+            words = [WordTimestamp(c, None, None)
+                     for c in text if not c.isspace()]
+            out.append(AlignmentResult(i, words))
+        return out
+
+
+def create_aligner(backend: str = "qwen3", **kwargs):
+    b = (backend or "qwen3").lower()
+    if b in ("qwen3", "qwen", "forced"):
+        return QwenAlignerAdapter(**kwargs)
+    return NullAligner()

@@ -1,0 +1,142 @@
+"""Qwen/ChronosJAV pipeline: semantic scenes → decoupled assembly → SRT.
+
+Flow parity with the reference QwenPipeline (reference: whisperjav/
+pipelines/qwen_pipeline.py:87-1056 — phases: extract, semantic scene
+detection with safe chunking clamping scenes to 12–48 s for the
+aligner's 180 s limit, optional enhancement, per-scene VAD,
+DecoupledSubtitlePipeline, per-scene SRT, stitch, light sanitize
+(anime-style ellipsis filtering only), analytics).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from whisperjav_tpu.modules.analytics import compute_analytics
+from whisperjav_tpu.modules.audio_io import WHISPER_SAMPLE_RATE
+from whisperjav_tpu.modules.audio_extraction import AudioExtractor
+from whisperjav_tpu.modules.media_discovery import MediaInfo
+from whisperjav_tpu.modules.scene_detection import create_scene_detector
+from whisperjav_tpu.modules.srt import Subtitle, save_srt, stitch
+from whisperjav_tpu.modules.subtitle_pipeline.orchestrator import (
+    DecoupledSubtitlePipeline,
+)
+from whisperjav_tpu.pipelines.transcribe import PipelineResult
+from whisperjav_tpu.utils.logger import logger
+
+# safe chunking bounds against the aligner's limit
+# (reference: qwen_pipeline.py:98-100, 211-214)
+SCENE_MIN_S = 12.0
+SCENE_MAX_S = 48.0
+
+
+def safe_chunk_scenes(scenes, max_s: float = SCENE_MAX_S,
+                      min_s: float = SCENE_MIN_S):
+    """Clamp scene list to [min_s, max_s] durations: split long scenes
+    evenly, merge a too-short scene into its predecessor."""
+    from whisperjav_tpu.modules.scene_detection.base import Scene
+    out: List[Scene] = []
+    for sc in scenes:
+        if sc.duration > max_s:
+            n = int(np.ceil(sc.duration / max_s))
+            step = sc.duration / n
+            for i in range(n):
+                out.append(Scene(len(out), sc.start + i * step,
+                                 sc.start + (i + 1) * step, sc.scene_type))
+        elif out and sc.duration < min_s and \
+                out[-1].duration + sc.duration <= max_s:
+            out[-1] = Scene(out[-1].index, out[-1].start, sc.end,
+                            out[-1].scene_type)
+        else:
+            out.append(Scene(len(out), sc.start, sc.end, sc.scene_type))
+    for i, sc in enumerate(out):
+        sc.index = i
+    return out
+
+
+class QwenPipeline:
+    def __init__(
+        self,
+        decoupled: DecoupledSubtitlePipeline,
+        scene_backend: str = "semantic",
+        scene_kwargs: Optional[Dict] = None,
+        enhancer_backend: Optional[str] = None,
+        language: str = "ja",
+    ):
+        self.decoupled = decoupled
+        self.scene_detector = create_scene_detector(
+            scene_backend, **(scene_kwargs or {}))
+        from whisperjav_tpu.modules.enhancement import (
+            create_enhancer, is_passthrough_backend,
+        )
+        self.enhancer = (None if is_passthrough_backend(enhancer_backend)
+                         else create_enhancer(enhancer_backend))
+        self.language = language
+
+    # ------------------------------------------------------------------
+    def process(self, media: MediaInfo, output_dir: Path) -> PipelineResult:
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        t0 = time.time()
+        logger.info("qwen pipeline: %s", media.path.name)
+
+        # phase 1-2: extract + scenes with safe chunking
+        audio, duration = AudioExtractor(WHISPER_SAMPLE_RATE).extract(
+            media.path)
+        scene_result = self.scene_detector.detect(audio, WHISPER_SAMPLE_RATE)
+        scenes = safe_chunk_scenes(scene_result.scenes)
+
+        # phase 3: enhancement (graceful)
+        scene_audios = []
+        for sc in scenes:
+            a = int(sc.start * WHISPER_SAMPLE_RATE)
+            b = int(sc.end * WHISPER_SAMPLE_RATE)
+            clip = audio[a:b]
+            if self.enhancer is not None:
+                from whisperjav_tpu.modules.enhancement import enhance_scenes
+                res = enhance_scenes(self.enhancer, [clip],
+                                     WHISPER_SAMPLE_RATE)[0]
+                if res.success:
+                    clip = res.audio
+            scene_audios.append(clip)
+
+        # phases 4-5: decoupled assembly per scene
+        outputs = self.decoupled.process_scenes(scene_audios,
+                                                WHISPER_SAMPLE_RATE)
+
+        # phases 6-7: per-scene cues → global stitch
+        scene_subs = [(out.subtitles, scenes[i].start)
+                      for i, out in enumerate(outputs)]
+        subtitles = stitch(scene_subs)
+
+        # phase 8: light sanitization only (reference bypasses the full
+        # sanitizer for qwen output, qwen_pipeline.py:960-1005)
+        subtitles = [s for s in subtitles if s.text.strip("…・.")]
+
+        # phase 9: analytics
+        analytics = compute_analytics(subtitles, duration)
+        diagnostics = [o.diagnostics.to_dict() for o in outputs]
+
+        srt_path = output_dir / f"{media.basename}.{self.language}.whisperjav.srt"
+        save_srt(srt_path, subtitles)
+        metadata = {
+            "input": str(media.path),
+            "pipeline": "qwen",
+            "duration_s": duration,
+            "scenes": len(scenes),
+            "analytics": analytics,
+            "scene_diagnostics": diagnostics,
+            "wall_s": round(time.time() - t0, 2),
+        }
+        (output_dir / f"{media.basename}.whisperjav.json").write_text(
+            json.dumps(metadata, indent=2, ensure_ascii=False, default=str),
+            encoding="utf-8")
+        logger.info("qwen pipeline wrote %s (%d cues, health=%s)",
+                    srt_path.name, len(subtitles), analytics["health"])
+        return PipelineResult(media, srt_path, subtitles, metadata)
