@@ -68,6 +68,13 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                             "smart_merge", "full_merge", "longest"])
     p.add_argument("--ensemble-serial", action="store_true",
                    help="process files one at a time through both passes")
+    p.add_argument("--translate", default=None, metavar="PROVIDER",
+                   help="translate output SRTs after transcription "
+                        "(identity/deepseek/gpt/claude/gemini/ollama/…)")
+    p.add_argument("--translate-model", default=None)
+    p.add_argument("--translate-target", default="English")
+    p.add_argument("--async-processing", action="store_true",
+                   help="overlap host preprocessing with device decode")
     p.add_argument("--skip-existing", action="store_true",
                    help="skip files whose output SRT already exists")
     p.add_argument("--make-vtt", action="store_true",
@@ -225,6 +232,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             if args.make_vtt and result.srt_path:
                 from whisperjav_tpu.modules.srt import srt_to_vtt
                 srt_to_vtt(result.srt_path)
+            if args.translate and result.srt_path:
+                from whisperjav_tpu.translate.service import translate_srt
+                translate_srt(result.srt_path, provider=args.translate,
+                              model=args.translate_model,
+                              target_language=args.translate_target)
             batch_stats.append(result.metadata)
         except Exception as e:  # keep the batch going, reference behavior
             logger.error("failed on %s: %s", m.path.name, e, exc_info=True)
