@@ -231,12 +231,15 @@ def encode_audio(params: Params, cfg: QwenASRConfig,
 # ---------------------------------------------------------------------------
 
 class LMCache(NamedTuple):
-    k: jax.Array   # (L, B, T_max, n_kv, hd)
+    """KV cache with heads MERGED in storage — (L, B, T_max, n_kv*hd) —
+    so the trailing dim tiles onto the TPU layout without lane padding
+    (same rationale as whisper.model.KVCache)."""
+    k: jax.Array
     v: jax.Array
 
     @staticmethod
     def zeros(cfg: QwenASRConfig, b: int, t_max: int, dtype) -> "LMCache":
-        shape = (cfg.n_layers, b, t_max, cfg.n_kv_heads, cfg.head_dim)
+        shape = (cfg.n_layers, b, t_max, cfg.n_kv_heads * cfg.head_dim)
         return LMCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -249,15 +252,19 @@ def _lm_block(x, p, cache_k, cache_v, pos, cfg: QwenASRConfig, bias):
              cfg.rope_theta)
     k = rope(_dense(h, p["wk"]).reshape(b, q_len, nkv, hd), positions,
              cfg.rope_theta)
-    v = _dense(h, p["wv"]).reshape(b, q_len, nkv, hd)
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
-                                           (0, pos, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
-                                           (0, pos, 0, 0))
-    # GQA: repeat kv heads
+    v = _dense(h, p["wv"])
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, k.reshape(b, q_len, nkv * hd).astype(cache_k.dtype),
+        (0, pos, 0))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, v.astype(cache_v.dtype), (0, pos, 0))
+    t_max = cache_k.shape[1]
+    # GQA: split heads transiently, repeat kv heads
     rep = nh // nkv
-    kk = jnp.repeat(cache_k.astype(q.dtype), rep, axis=2)
-    vv = jnp.repeat(cache_v.astype(q.dtype), rep, axis=2)
+    kk = jnp.repeat(cache_k.astype(q.dtype).reshape(b, t_max, nkv, hd),
+                    rep, axis=2)
+    vv = jnp.repeat(cache_v.astype(q.dtype).reshape(b, t_max, nkv, hd),
+                    rep, axis=2)
     scale = hd ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, kk,
                         preferred_element_type=jnp.float32) + bias

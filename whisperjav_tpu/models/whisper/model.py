@@ -185,19 +185,31 @@ def encode(params: Params, config: WhisperConfig, mel: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 class KVCache(NamedTuple):
-    """Fixed-shape self-attention cache: (n_layer, B, T_max, H, hd) each."""
+    """Fixed-shape self-attention cache: (n_layer, B, T_max, d_model) each.
+
+    Heads stay MERGED in storage: a trailing dim of d_model (multiple of
+    128) maps to TPU tiles without padding, whereas (…, H, head_dim=64)
+    pads 64→128 lanes — a 2× memory expansion XLA then shuttles around
+    with remat copies. Heads are split transiently inside the attention
+    einsum instead.
+    """
     k: jax.Array
     v: jax.Array
 
     @staticmethod
     def zeros(config: WhisperConfig, batch: int, max_len: int, dtype) -> "KVCache":
-        shape = (config.n_text_layer, batch, max_len, config.n_text_head,
-                 config.head_dim)
+        shape = (config.n_text_layer, batch, max_len, config.n_text_state)
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
 class CrossKV(NamedTuple):
-    """Per-segment cross-attention K/V: (n_layer, B, T_audio, H, hd)."""
+    """Per-segment cross-attention K/V: (n_layer, B, H, head_dim, T_audio).
+
+    The decode loop reads these 2×L×B×T×d bytes EVERY step — the single
+    largest HBM stream in decoding. With head_dim (64) on the sublane axis
+    and T on the lane axis the tiles are dense; the naive (…, T, H, 64)
+    view pads 64→128 lanes and doubles that stream.
+    """
     k: jax.Array
     v: jax.Array
 
@@ -209,33 +221,52 @@ def precompute_cross_kv(params: Params, config: WhisperConfig,
     h = config.n_text_head
 
     def body(_, layer_p):
+        # (B, T, D) → (B, H, hd, T), the decode-hot layout
         k = _split_heads(dense(xa, layer_p["cwk"]), h)
         v = _split_heads(dense(xa, layer_p["cwv"], layer_p["cbv"]), h)
-        return None, (k, v)
+        return None, (k.transpose(0, 2, 3, 1), v.transpose(0, 2, 3, 1))
 
     _, (ks, vs) = jax.lax.scan(body, None, blocks)
     return CrossKV(ks, vs)
 
 
+def cross_attention(q: jax.Array, ck: jax.Array, cv: jax.Array) -> jax.Array:
+    """q (B, Tq, H, hd) × cross K/V (B, H, hd, T) → (B, Tq, H, hd)."""
+    hd = q.shape[-1]
+    scale = hd ** -0.25
+    logits = jnp.einsum("bqhd,bhdt->bhqt", q * scale, ck * scale,
+                        preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqt,bhdt->bqhd", weights, cv,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def _decoder_block(x, layer_p, cross_k, cross_v, cache_k, cache_v,
                    pos, n_head, self_bias):
-    """One decoder block at positions [pos, pos+q). Returns x and new cache."""
+    """One decoder block at positions [pos, pos+q). Returns x and new cache.
+
+    Caches are stored heads-merged (B, T, d); heads are split transiently
+    for the attention einsums (see KVCache layout note).
+    """
     b, q_len, d = x.shape
     # --- causal self-attention over the cache ---
     h = layer_norm(x, layer_p["ln1_s"], layer_p["ln1_b"])
     q = _split_heads(dense(h, layer_p["wq"], layer_p["bq"]), n_head)
-    k_new = _split_heads(dense(h, layer_p["wk"]), n_head)
-    v_new = _split_heads(dense(h, layer_p["wv"], layer_p["bv"]), n_head)
+    k_new = dense(h, layer_p["wk"])
+    v_new = dense(h, layer_p["wv"], layer_p["bv"])
     cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype),
-                                           (0, pos, 0, 0))
+                                           (0, pos, 0))
     cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype),
-                                           (0, pos, 0, 0))
-    a = attention(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), self_bias)
+                                           (0, pos, 0))
+    t_max = cache_k.shape[1]
+    a = attention(q, _split_heads(cache_k.astype(q.dtype), n_head),
+                  _split_heads(cache_v.astype(q.dtype), n_head), self_bias)
     x = x + dense(a.reshape(b, q_len, d), layer_p["wo"], layer_p["bo"])
-    # --- cross-attention ---
+    # --- cross-attention (K/V pre-laid-out as (B, H, hd, T)) ---
     h = layer_norm(x, layer_p["lnx_s"], layer_p["lnx_b"])
     cq = _split_heads(dense(h, layer_p["cwq"], layer_p["cbq"]), n_head)
-    a = attention(cq, cross_k.astype(cq.dtype), cross_v.astype(cq.dtype))
+    a = cross_attention(cq, cross_k.astype(cq.dtype),
+                        cross_v.astype(cq.dtype))
     x = x + dense(a.reshape(b, q_len, d), layer_p["cwo"], layer_p["cbo"])
     # --- mlp ---
     h = layer_norm(x, layer_p["ln2_s"], layer_p["ln2_b"])
