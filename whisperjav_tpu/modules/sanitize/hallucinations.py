@@ -111,9 +111,21 @@ class HallucinationRemover:
     def add_phrases(self, phrases: Iterable[str]) -> None:
         self._normalized |= {normalize_text(p) for p in phrases if p.strip()}
 
-    def is_hallucination(self, text: str) -> bool:
-        """Exact (normalized) blacklist hit for the whole line."""
-        return normalize_text(text) in self._normalized
+    def is_hallucination(self, text: str, fuzzy_threshold: float = 0.9) -> bool:
+        """Blacklist hit: exact normalized match, or fuzzy (edit-ratio ≥
+        threshold) for lines long enough that near-misses are meaningful
+        (reference keeps a fuzzy matcher alongside the exact DB,
+        hallucination_remover.py:81)."""
+        norm = normalize_text(text)
+        if norm in self._normalized:
+            return True
+        if len(norm) >= 8:
+            import difflib
+            for phrase in self._normalized:
+                if abs(len(phrase) - len(norm)) <= 3 and difflib.SequenceMatcher(
+                        None, norm, phrase).ratio() >= fuzzy_threshold:
+                    return True
+        return False
 
     def clean(self, text: str) -> Tuple[str, HallucinationStats]:
         stats = HallucinationStats()

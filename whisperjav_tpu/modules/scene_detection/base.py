@@ -61,6 +61,11 @@ def create_scene_detector(backend: str = "energy", **kwargs) -> SceneDetector:
     if backend in ("energy", "auditok", "default"):
         from whisperjav_tpu.modules.scene_detection.energy import EnergySceneDetector
         return EnergySceneDetector(**kwargs)
+    if backend in ("silero", "silero-scene"):
+        from whisperjav_tpu.modules.scene_detection.silero_scene import (
+            SileroSceneDetector,
+        )
+        return SileroSceneDetector(**kwargs)
     if backend in ("semantic",):
         try:
             from whisperjav_tpu.modules.scene_detection.semantic import (

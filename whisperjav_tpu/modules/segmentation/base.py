@@ -180,6 +180,19 @@ def create_segmenter(backend: str = "energy", **kwargs) -> SpeechSegmenter:
                 EnergySpeechSegmenter,
             )
             return EnergySpeechSegmenter()
+    if backend in ("whisper-vad", "whispervad"):
+        try:
+            from whisperjav_tpu.modules.segmentation.whisper_vad import (
+                WhisperVadSegmenter,
+            )
+            return WhisperVadSegmenter(**kwargs)
+        except ImportError as e:
+            logger.warning("whisper-vad backend unavailable (%s); "
+                           "falling back to energy VAD", e)
+            from whisperjav_tpu.modules.segmentation.energy_vad import (
+                EnergySpeechSegmenter,
+            )
+            return EnergySpeechSegmenter()
     if backend in ("whisperseg",):
         try:
             from whisperjav_tpu.modules.segmentation.whisperseg import (
