@@ -135,6 +135,11 @@ class Handler(BaseHTTPRequestHandler):
         elif url.path == "/api/status":
             with JOB.lock:
                 self._json({"status": JOB.status})
+        elif url.path == "/api/presets":
+            from whisperjav_tpu.config.user_config import UserConfigManager
+            m = UserConfigManager()
+            self._json({name: m.get_preset(name)
+                        for name in m.list_presets()})
         elif url.path == "/api/logs":
             since = int(parse_qs(url.query).get("since", ["0"])[0])
             with JOB.lock:
@@ -156,6 +161,17 @@ class Handler(BaseHTTPRequestHandler):
         elif url.path == "/api/cancel":
             JOB.cancel()
             self._json({"ok": True})
+        elif url.path == "/api/presets":
+            from whisperjav_tpu.config.user_config import UserConfigManager
+            m = UserConfigManager()
+            try:
+                if body.get("delete"):
+                    self._json({"ok": m.delete_preset(body["name"])})
+                else:
+                    m.save_preset(body["name"], body.get("options", {}))
+                    self._json({"ok": True})
+            except (ValueError, KeyError) as e:
+                self._json({"ok": False, "error": str(e)}, 400)
         else:
             self._json({"error": "not found"}, 404)
 
