@@ -118,7 +118,9 @@ def read_wav(
         x = np.frombuffer(raw, dtype=np.float32 if bits == 32 else np.float64)
         x = x.astype(dtype)
     elif bits == 16:
-        x = np.frombuffer(raw, dtype="<i2").astype(dtype) / 32768.0
+        from whisperjav_tpu import native
+        x = native.pcm16_to_f32(np.frombuffer(raw, dtype="<i2")).astype(
+            dtype, copy=False)
     elif bits == 32:
         x = np.frombuffer(raw, dtype="<i4").astype(dtype) / 2147483648.0
     elif bits == 8:

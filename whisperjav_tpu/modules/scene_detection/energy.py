@@ -40,14 +40,14 @@ class EnergySceneConfig:
 
 def frame_energies_db(audio: np.ndarray, sample_rate: int,
                       frame_ms: float = 10.0) -> np.ndarray:
-    """Per-frame energy in auditok-style dB: 10*log10(mean(int16_x²))."""
+    """Per-frame energy in auditok-style dB: 10*log10(mean(int16_x²)).
+
+    Uses the native C++ kernel when built (multi-hour files stream
+    without the float64 numpy temporary), numpy otherwise.
+    """
     hop = max(1, int(sample_rate * frame_ms / 1000.0))
-    n = (len(audio) // hop) * hop
-    if n == 0:
-        return np.zeros((0,), np.float32)
-    x = (audio[:n].astype(np.float64) * 32768.0) ** 2
-    frame_power = x.reshape(-1, hop).mean(axis=1)
-    return (10.0 * np.log10(frame_power + _EPS)).astype(np.float32)
+    from whisperjav_tpu import native
+    return native.frame_energy_db(np.asarray(audio, np.float32), hop)
 
 
 def _active_regions(active: np.ndarray, frame_s: float,

@@ -45,21 +45,12 @@ class SileroJaxConfig:
 
 def hysteresis_regions(probs: np.ndarray, frame_s: float, onset: float,
                        release: float) -> List[SpeechSegment]:
-    """Dual-threshold state machine over frame probabilities."""
-    segments: List[SpeechSegment] = []
-    in_speech = False
-    start = 0.0
-    for i, p in enumerate(probs):
-        if not in_speech and p >= onset:
-            in_speech = True
-            start = i * frame_s
-        elif in_speech and p < release:
-            in_speech = False
-            segments.append(SpeechSegment(start, i * frame_s,
-                                          prob=float(p)))
-    if in_speech:
-        segments.append(SpeechSegment(start, len(probs) * frame_s))
-    return segments
+    """Dual-threshold state machine over frame probabilities (native C++
+    scan when built; multi-hour prob tracks stay cheap)."""
+    from whisperjav_tpu import native
+    regions = native.hysteresis(np.asarray(probs, np.float32),
+                                onset, release)
+    return [SpeechSegment(a * frame_s, b * frame_s) for a, b in regions]
 
 
 class SileroJaxSegmenter:
