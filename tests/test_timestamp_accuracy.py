@@ -1,0 +1,68 @@
+"""Timestamp round-trip accuracy: SRT times vs known speech positions.
+
+Mirrors the reference's timestamp accuracy suite (reference:
+whisperjav/tests/test_timestamp_accuracy.py — synthetic audio through
+segment→process→stitch, verifying output times against the audio with
+tolerance). Window placement is VAD-driven, so timing accuracy is
+testable even with random ASR weights: every emitted cue must fall
+inside (with padding tolerance) a true speech burst, and every burst
+long enough must be covered.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from whisperjav_tpu.config.presets import resolve_pipeline_config
+from whisperjav_tpu.models.whisper.config import WhisperConfig
+from whisperjav_tpu.models.whisper.model import init_params
+from whisperjav_tpu.pipelines.factory import build_pipeline
+
+SR = 16000
+TINY = WhisperConfig(name="ts-tiny", n_audio_state=64, n_audio_head=4,
+                     n_audio_layer=2, n_text_state=64, n_text_head=4,
+                     n_text_layer=2)
+
+
+def burst(duration_s, seed):
+    rng = np.random.default_rng(seed)
+    n = int(duration_s * SR)
+    t = np.arange(n) / SR
+    x = 0.35 * np.sin(2 * np.pi * 170 * t) * (1 + 0.4 * np.sin(2 * np.pi * 5 * t))
+    return (x + 0.04 * rng.standard_normal(n)).astype(np.float32)
+
+
+@pytest.mark.slow
+def test_cue_times_track_speech_bursts():
+    # bursts at known absolute positions separated by real silence
+    layout = [(1.0, 3.0), (6.0, 9.5), (13.0, 14.5)]   # (start, end) seconds
+    total = 17.0
+    audio = np.zeros(int(total * SR), np.float32)
+    for i, (a, b) in enumerate(layout):
+        audio[int(a * SR):int(b * SR)] = burst(b - a, seed=i)
+
+    cfg = resolve_pipeline_config(mode="balanced", sensitivity="balanced",
+                                  batch_size=4, vad_backend="energy")
+    pipe = build_pipeline(cfg, model_config=TINY,
+                          params=init_params(TINY, jax.random.PRNGKey(0)))
+    subs, stats = pipe.process_audio(audio, SR)
+
+    assert subs, "no subtitles produced for clearly voiced audio"
+    tol = 1.6   # VAD context padding + timestamp quantization
+    for s in subs:
+        inside = any(s.start >= a - tol and s.end <= b + tol
+                     for a, b in layout)
+        assert inside, (f"cue [{s.start:.2f},{s.end:.2f}] outside every "
+                        f"speech burst {layout}")
+
+    # every burst ≥1.5 s is covered by at least one cue
+    for a, b in layout:
+        if b - a < 1.5:
+            continue
+        covered = any(min(s.end, b) - max(s.start, a) > 0.3 for s in subs)
+        assert covered, f"burst ({a},{b}) produced no cue"
+
+    # stitching monotonicity
+    starts = [s.start for s in subs]
+    assert starts == sorted(starts)

@@ -28,12 +28,26 @@ def normalize_language(code: str) -> str:
 
 
 class SRTPostProcessor:
-    def __init__(self, config: SanitizerConfig | None = None):
+    def __init__(self, config: SanitizerConfig | None = None,
+                 regroup: bool = True, regroup_preset: str = "default"):
         self.config = config or SanitizerConfig()
+        self.regroup = regroup
+        self.regroup_preset = regroup_preset
 
     def process(self, subs: Sequence[Subtitle],
                 language: str = "ja") -> Tuple[List[Subtitle], Dict]:
         lang = normalize_language(language)
+        subs = list(subs)
+        regrouped = 0
+        if self.regroup and lang == "ja":
+            # linguistic regrouping before sanitization (the role the
+            # reference's stable-ts regroup + JapanesePostProcessor play)
+            from whisperjav_tpu.modules.sanitize.japanese import (
+                JapanesePostProcessor,
+            )
+            before = len(subs)
+            subs = JapanesePostProcessor(self.regroup_preset).process(subs)
+            regrouped = before - len(subs)
         if lang in ("ja", "ko", "zh"):
             sanitizer = SubtitleSanitizer(lang, self.config)
         else:
@@ -41,5 +55,7 @@ class SRTPostProcessor:
             from dataclasses import replace
             cfg = replace(self.config, max_cps=35.0)
             sanitizer = SubtitleSanitizer("en", cfg)
-        cleaned, report = sanitizer.process(list(subs))
-        return cleaned, report.to_dict()
+        cleaned, report = sanitizer.process(subs)
+        stats = report.to_dict()
+        stats["regroup_merges"] = regrouped
+        return cleaned, stats

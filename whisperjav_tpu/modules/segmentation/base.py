@@ -167,6 +167,22 @@ def create_segmenter(backend: str = "energy", **kwargs) -> SpeechSegmenter:
             EnergySpeechSegmenter,
         )
         return EnergySpeechSegmenter(**kwargs)
+    if backend in ("ten", "ten-jax"):
+        # TEN-class frame VAD: same model family as silero-jax at finer
+        # frame resolution with the reference's TEN-tuned grouping
+        # (reference: speech_segmentation/backends/ten.py:76-97)
+        try:
+            from whisperjav_tpu.modules.segmentation.silero_jax import (
+                SileroJaxSegmenter,
+            )
+            kwargs.setdefault("frame_s", 0.016)   # hop 256 @16 kHz
+            kwargs.setdefault("min_speech_duration_ms", 120.0)
+            kwargs.setdefault("min_silence_duration_ms", 250.0)
+            seg = SileroJaxSegmenter(**kwargs)
+            seg.name = "ten-jax"
+            return seg
+        except ImportError as e:
+            logger.warning("ten-jax backend unavailable (%s)", e)
     if backend in ("silero", "silero-jax", "silero-v3", "silero-v4"):
         try:
             from whisperjav_tpu.modules.segmentation.silero_jax import (
