@@ -23,7 +23,7 @@ import numpy as np
 
 BASELINE_RTF = 15.0          # CUDA faster-whisper large-v2 on RTX 4090
 MODEL = "large-v2"
-BATCH = 16
+BATCH = 48
 DECODE_TOKENS = 128          # representative tokens per 30 s JA window
 TIMED_BATCHES = 3
 
@@ -41,7 +41,8 @@ def main():
 
     config = WHISPER_SIZES[MODEL]
     params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    options = DecodeOptions(max_new_tokens=DECODE_TOKENS)
+    options = DecodeOptions(max_new_tokens=DECODE_TOKENS,
+                            cross_kv_int8=True)
     engine = TranscriptionEngine(
         config, params, options=options,
         thresholds=QualityThresholds(temperatures=(0.0,)),

@@ -145,3 +145,17 @@ def test_extract_segments_trailing_open():
     assert len(segs) == 1
     assert abs(segs[0].start - 0.2) < 1e-9
     assert segs[0].end == 8.5
+
+
+def test_int8_cross_kv_matches_fp(tiny_model):
+    """int8 cross-KV decode tracks the fp path closely on a tiny model."""
+    params, xa = tiny_model
+    fp = decode_greedy(params, TINY, xa,
+                       DecodeOptions(max_new_tokens=16))
+    q8 = decode_greedy(params, TINY, xa,
+                       DecodeOptions(max_new_tokens=16, cross_kv_int8=True))
+    a, b = np.asarray(fp.tokens), np.asarray(q8.tokens)
+    # token agreement is high (quantization noise may flip borderline picks)
+    agree = (a == b).mean()
+    assert agree > 0.7, f"int8 cross-KV diverged: {agree:.2f} agreement"
+    assert np.isfinite(np.asarray(q8.avg_logprob)).all()

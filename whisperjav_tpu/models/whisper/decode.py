@@ -56,6 +56,9 @@ class DecodeOptions:
     beam_size: int = 1
     length_penalty: float = 1.0
     ts_precision: float = 0.02
+    # int8-quantize cross-attention K/V per (layer,batch,head): halves the
+    # dominant per-token HBM stream at negligible quality cost
+    cross_kv_int8: bool = False
 
 
 class DecodeResult(NamedTuple):
@@ -267,7 +270,8 @@ def decode_greedy(
     tokens = jnp.zeros((b, total_len), jnp.int32)
     tokens = tokens.at[:, :prompt_len].set(jnp.asarray(init)[None, :])
 
-    cross = precompute_cross_kv(params, config, xa)
+    cross = precompute_cross_kv(params, config, xa,
+                                int8=options.cross_kv_int8)
     cache = KVCache.zeros(config, b, total_len,
                           params["decoder"]["tok_emb"].dtype)
     prefill, cache = decode_step(
@@ -503,7 +507,8 @@ def decode_beam(
     total_len = prompt_len + options.max_new_tokens
 
     xa_k = jnp.repeat(xa, k, axis=0)                       # (B*k, T, d)
-    cross = precompute_cross_kv(params, config, xa_k)
+    cross = precompute_cross_kv(params, config, xa_k,
+                                int8=options.cross_kv_int8)
     tokens = jnp.zeros((b * k, total_len), jnp.int32)
     tokens = tokens.at[:, :prompt_len].set(jnp.asarray(init)[None, :])
     cache = KVCache.zeros(config, b * k, total_len,

@@ -212,37 +212,67 @@ class CrossKV(NamedTuple):
     """
     k: jax.Array
     v: jax.Array
+    # per-(layer,batch,head) dequantization scales, (L, B, H, 1, 1) f32;
+    # all-ones when k/v are kept in the compute dtype
+    k_scale: jax.Array
+    v_scale: jax.Array
 
 
 def precompute_cross_kv(params: Params, config: WhisperConfig,
-                        xa: jax.Array) -> CrossKV:
-    """Project encoder states once; reused by every decode step."""
+                        xa: jax.Array, int8: bool = False) -> CrossKV:
+    """Project encoder states once; reused by every decode step.
+
+    ``int8=True`` symmetrically quantizes K/V per (layer, batch, head),
+    halving the dominant per-token HBM stream; the int8→bf16 convert and
+    scale multiply fuse into the attention matmuls.
+    """
     blocks = params["decoder"]["blocks"]
     h = config.n_text_head
 
     def body(_, layer_p):
         # (B, T, D) → (B, H, hd, T), the decode-hot layout
-        k = _split_heads(dense(xa, layer_p["cwk"]), h)
-        v = _split_heads(dense(xa, layer_p["cwv"], layer_p["cbv"]), h)
-        return None, (k.transpose(0, 2, 3, 1), v.transpose(0, 2, 3, 1))
+        k = _split_heads(dense(xa, layer_p["cwk"]), h).transpose(0, 2, 3, 1)
+        v = _split_heads(dense(xa, layer_p["cwv"], layer_p["cbv"]),
+                         h).transpose(0, 2, 3, 1)
+        if int8:
+            ks = (jnp.max(jnp.abs(k.astype(jnp.float32)), axis=(2, 3),
+                          keepdims=True) / 127.0 + 1e-9)
+            vs = (jnp.max(jnp.abs(v.astype(jnp.float32)), axis=(2, 3),
+                          keepdims=True) / 127.0 + 1e-9)
+            k = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
+                         -127, 127).astype(jnp.int8)
+            v = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
+                         -127, 127).astype(jnp.int8)
+        else:
+            ks = jnp.ones(k.shape[:2] + (1, 1), jnp.float32)
+            vs = ks
+        return None, (k, v, ks, vs)
 
-    _, (ks, vs) = jax.lax.scan(body, None, blocks)
-    return CrossKV(ks, vs)
+    _, (ks_, vs_, ksc, vsc) = jax.lax.scan(body, None, blocks)
+    return CrossKV(ks_, vs_, ksc, vsc)
 
 
-def cross_attention(q: jax.Array, ck: jax.Array, cv: jax.Array) -> jax.Array:
-    """q (B, Tq, H, hd) × cross K/V (B, H, hd, T) → (B, Tq, H, hd)."""
+def cross_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
+                    k_scale: jax.Array, v_scale: jax.Array) -> jax.Array:
+    """q (B, Tq, H, hd) × cross K/V (B, H, hd, T) → (B, Tq, H, hd).
+
+    K/V may be int8 with per-(batch,head) scales (B, H, 1, 1)."""
     hd = q.shape[-1]
     scale = hd ** -0.25
-    logits = jnp.einsum("bqhd,bhdt->bhqt", q * scale, ck * scale,
+    logits = jnp.einsum("bqhd,bhdt->bhqt", q * (scale * scale),
+                        ck.astype(q.dtype),
                         preferred_element_type=jnp.float32)
+    logits = logits * k_scale if ck.dtype == jnp.int8 else logits
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqt,bhdt->bqhd", weights, cv,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+    out = jnp.einsum("bhqt,bhdt->bqhd", weights, cv.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    if cv.dtype == jnp.int8:
+        out = out * jnp.transpose(v_scale, (0, 2, 1, 3))  # (B,1,H,1)
+    return out.astype(q.dtype)
 
 
-def _decoder_block(x, layer_p, cross_k, cross_v, cache_k, cache_v,
-                   pos, n_head, self_bias):
+def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
+                   cache_k, cache_v, pos, n_head, self_bias):
     """One decoder block at positions [pos, pos+q). Returns x and new cache.
 
     Caches are stored heads-merged (B, T, d); heads are split transiently
@@ -265,8 +295,7 @@ def _decoder_block(x, layer_p, cross_k, cross_v, cache_k, cache_v,
     # --- cross-attention (K/V pre-laid-out as (B, H, hd, T)) ---
     h = layer_norm(x, layer_p["lnx_s"], layer_p["lnx_b"])
     cq = _split_heads(dense(h, layer_p["cwq"], layer_p["cbq"]), n_head)
-    a = cross_attention(cq, cross_k.astype(cq.dtype),
-                        cross_v.astype(cq.dtype))
+    a = cross_attention(cq, cross_k, cross_v, ck_scale, cv_scale)
     x = x + dense(a.reshape(b, q_len, d), layer_p["cwo"], layer_p["cbo"])
     # --- mlp ---
     h = layer_norm(x, layer_p["ln2_s"], layer_p["ln2_b"])
@@ -304,13 +333,14 @@ def decode_step(
     self_bias = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)[None, None]
 
     def body(h, xs):
-        layer_p, ck, cv, sk, sv = xs
-        h, nk, nv = _decoder_block(h, layer_p, ck, cv, sk, sv, pos,
-                                   config.n_text_head, self_bias)
+        layer_p, ck, cv, cks, cvs, sk, sv = xs
+        h, nk, nv = _decoder_block(h, layer_p, ck, cv, cks, cvs, sk, sv,
+                                   pos, config.n_text_head, self_bias)
         return h, (nk, nv)
 
     x, (new_k, new_v) = jax.lax.scan(
-        body, x, (dec["blocks"], cross.k, cross.v, cache.k, cache.v))
+        body, x, (dec["blocks"], cross.k, cross.v, cross.k_scale,
+                  cross.v_scale, cache.k, cache.v))
     x = layer_norm(x, dec["ln_s"], dec["ln_b"])
     logits = jnp.dot(x, dec["tok_emb"].T.astype(x.dtype),
                      preferred_element_type=jnp.float32)

@@ -62,6 +62,7 @@ def build_pipeline(
         with_timestamps=cfg.mode.with_timestamps,
         repetition_penalty=sens.repetition_penalty,
         beam_size=sens.beam_size,
+        cross_kv_int8=True,   # production default: halves decode HBM traffic
     )
     thresholds = QualityThresholds(
         logprob_threshold=sens.logprob_threshold,
