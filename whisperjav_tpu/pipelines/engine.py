@@ -44,6 +44,16 @@ class QualityThresholds:
     temperatures: Tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
 
 
+# Encoder-frame buckets for cross-KV slicing: decoding reads the full
+# cross-attention K/V every token, so a 6 s VAD group decoded against a
+# 30 s window wastes 4x of the dominant HBM stream attending to padding.
+# Batches are duration-sorted (parallel/batching.py), so slicing encoder
+# output to the smallest bucket covering the longest window in the batch
+# is usually tight. One decode executable compiles per bucket.
+CROSS_KV_BUCKETS = (448, 960, 1500)
+FRAMES_PER_SECOND = 50   # whisper encoder frames
+
+
 class TranscriptionEngine:
     """Batched, sharded Whisper inference with temperature fallback."""
 
@@ -168,6 +178,12 @@ class TranscriptionEngine:
         th = self.thresholds
         temps = th.temperatures
         xa = self._encode_fn(self.params, jnp.asarray(batch.audio))
+        max_dur = max((w.duration for w in batch.windows), default=30.0)
+        need = int(np.ceil(max_dur * FRAMES_PER_SECOND)) + 8  # pad margin
+        bucket = next((b for b in CROSS_KV_BUCKETS if b >= need),
+                      CROSS_KV_BUCKETS[-1])
+        if bucket < xa.shape[1]:
+            xa = xa[:, :bucket]
         result = self.decode_encoded(xa, temps[0], seed)
         tokens = np.array(result.tokens)         # writable host copies
         avg_lp = np.array(result.avg_logprob)
