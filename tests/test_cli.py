@@ -1,0 +1,88 @@
+"""CLI surface tests: argument parsing, dump-params, end-to-end main()."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from whisperjav_tpu import cli
+from whisperjav_tpu.models.whisper.config import WhisperConfig
+from whisperjav_tpu.models.whisper.model import init_params
+from whisperjav_tpu.modules.audio_io import write_wav
+
+TINY = WhisperConfig(name="cli-tiny", n_audio_state=64, n_audio_head=4,
+                     n_audio_layer=2, n_text_state=64, n_text_head=4,
+                     n_text_layer=2)
+
+
+@pytest.fixture
+def tiny_loader(monkeypatch):
+    params = init_params(TINY, jax.random.PRNGKey(0))
+    import whisperjav_tpu.pipelines.factory as factory
+    monkeypatch.setattr(factory, "load_model",
+                        lambda *a, **k: (TINY, params))
+
+
+def _wav(tmp_path, name="c.wav", seconds=6.0):
+    sr = 16000
+    t = np.arange(int(seconds * sr)) / sr
+    x = (0.3 * np.sin(2 * np.pi * 200 * t)
+         * (1 + 0.5 * np.sin(2 * np.pi * 4 * t))).astype(np.float32)
+    p = tmp_path / name
+    write_wav(p, x, sr)
+    return p
+
+
+def test_parse_defaults():
+    args = cli.parse_arguments(["x.wav"])
+    assert args.mode == "balanced"
+    assert args.sensitivity == "balanced"
+    assert args.language == "ja"
+
+
+def test_dump_params(capsys):
+    rc = cli.main(["x.wav", "--mode", "fast", "--dump-params"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data["mode"]["name"] == "fast"
+    assert data["sensitivity"]["name"] == "balanced"
+
+
+def test_missing_input_fails():
+    assert cli.main(["/definitely/not/here.wav"]) == 1
+
+
+def test_check_runs():
+    assert cli.main(["x.wav", "--check"]) in (0, 1)
+
+
+@pytest.mark.slow
+def test_main_end_to_end(tmp_path, tiny_loader):
+    wav = _wav(tmp_path)
+    out = tmp_path / "out"
+    rc = cli.main([str(wav), "--mode", "fast", "--batch-size", "2",
+                   "--output-dir", str(out), "--make-vtt",
+                   "--stats-file", str(tmp_path / "stats.json")])
+    assert rc == 0
+    assert (out / "c.ja.whisperjav.srt").exists()
+    assert (out / "c.ja.whisperjav.vtt").exists()
+    stats = json.loads((tmp_path / "stats.json").read_text())
+    assert stats["files"] == 1 and stats["failures"] == 0
+
+    # skip-existing resume: second run does nothing but succeeds
+    rc = cli.main([str(wav), "--mode", "fast", "--batch-size", "2",
+                   "--output-dir", str(out), "--skip-existing"])
+    assert rc == 0
+
+
+@pytest.mark.slow
+def test_main_translate_identity(tmp_path, tiny_loader):
+    wav = _wav(tmp_path, "t.wav", 4.0)
+    out = tmp_path / "out"
+    rc = cli.main([str(wav), "--mode", "fast", "--batch-size", "2",
+                   "--output-dir", str(out), "--translate", "identity"])
+    assert rc == 0
+    translated = list(out.glob("t.ja.*.srt")) + list(out.glob("t.en.srt"))
+    assert any(p.exists() for p in translated)

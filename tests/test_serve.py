@@ -1,0 +1,78 @@
+"""Tests for the hot-engine transcription service."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+import whisperjav_tpu.serve as serve
+from whisperjav_tpu.config.presets import resolve_pipeline_config
+from whisperjav_tpu.models.whisper.config import WhisperConfig
+from whisperjav_tpu.models.whisper.model import init_params
+from whisperjav_tpu.modules.audio_io import write_wav
+from whisperjav_tpu.pipelines.factory import build_pipeline
+
+TINY = WhisperConfig(name="serve-tiny", n_audio_state=64, n_audio_head=4,
+                     n_audio_layer=2, n_text_state=64, n_text_head=4,
+                     n_text_layer=2)
+
+
+@pytest.fixture(scope="module")
+def server():
+    from http.server import ThreadingHTTPServer
+    cfg = resolve_pipeline_config(mode="fast", batch_size=2)
+    pipeline = build_pipeline(cfg, model_config=TINY,
+                              params=init_params(TINY, jax.random.PRNGKey(0)))
+    serve.SERVICE = serve.TranscriptionService(pipeline)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield port
+    httpd.shutdown()
+
+
+def _post(port, path, data, ctype="application/json"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data,
+        headers={"Content-Type": ctype})
+    return urllib.request.urlopen(req, timeout=300)
+
+
+@pytest.mark.slow
+def test_health_and_transcribe(server, tmp_path):
+    port = server
+    health = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/health").read())
+    assert health["status"] == "ok"
+    assert health["model"] == "serve-tiny"
+
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    wav = tmp_path / "req.wav"
+    write_wav(wav, x, sr)
+
+    # path-based request, JSON response
+    r = _post(port, "/transcribe",
+              json.dumps({"path": str(wav), "format": "json"}).encode())
+    data = json.loads(r.read())
+    assert "cues" in data and "stats" in data
+
+    # raw WAV body, SRT response
+    r = _post(port, "/transcribe", wav.read_bytes(), ctype="audio/wav")
+    srt = r.read().decode()
+    assert "-->" in srt or srt.strip() == ""
+
+    # bad path → 400
+    try:
+        _post(port, "/transcribe", json.dumps({"path": "/nope.wav"}).encode())
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
