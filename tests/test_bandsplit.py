@@ -1,0 +1,86 @@
+"""Tests for the band-split dual-path model and heavy enhancement
+backends, plus cross-subtitle processing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisperjav_tpu.models.enhancement.bandsplit import (
+    BandSplitConfig, apply, band_edges, init_params, load_params,
+    param_count, save_params,
+)
+from whisperjav_tpu.modules.enhancement import create_enhancer
+
+SMALL = BandSplitConfig(sample_rate=16_000, n_fft=512, hop=128, n_bands=8,
+                        d_model=32, n_heads=2, n_layers=1)
+
+
+def test_band_edges_partition():
+    edges = band_edges(257, 8)
+    assert len(edges) == 8
+    assert edges[0][0] == 0
+    assert edges[-1][1] == 257
+    # contiguous, non-empty
+    for (a1, b1), (a2, b2) in zip(edges[:-1], edges[1:]):
+        assert b1 == a2
+        assert b1 > a1
+
+
+def test_bandsplit_forward_shapes():
+    params = init_params(SMALL, jax.random.PRNGKey(0))
+    n = 4096
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, n)).astype(np.float32) * 0.2)
+    y = apply(params, SMALL, x, n)
+    assert y.shape == (2, n)
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_bandsplit_param_roundtrip(tmp_path):
+    params = init_params(SMALL, jax.random.PRNGKey(1))
+    p = tmp_path / "bs.npz"
+    save_params(str(p), params)
+    loaded = load_params(str(p))
+    x = jnp.asarray(np.random.default_rng(1)
+                    .standard_normal((1, 2048)).astype(np.float32))
+    a = np.asarray(apply(params, SMALL, x, 2048))
+    b = np.asarray(apply(loaded, SMALL, x, 2048))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert param_count(params) > 10_000
+
+
+def test_heavy_backends_graceful_without_weights():
+    for name in ("bs-roformer", "clearvoice"):
+        enh = create_enhancer(name)
+        assert not enh.is_lightweight
+        res = enh.enhance(np.zeros(1000, np.float32), 16000)
+        assert not res.success
+        assert np.array_equal(res.audio, np.zeros(1000, np.float32))
+    assert create_enhancer("bs-roformer").get_preferred_sample_rate() == 44100
+    assert create_enhancer("clearvoice").get_preferred_sample_rate() == 48000
+
+
+def test_cross_subtitle_processor():
+    from whisperjav_tpu.modules.sanitize.cross_subtitle import (
+        CrossSubtitleProcessor,
+    )
+    from whisperjav_tpu.modules.srt import Subtitle
+    subs = [
+        Subtitle(1, 0.0, 2.0, "今日はとても"),
+        Subtitle(2, 2.2, 3.0, "いい天気"),            # continuation
+        Subtitle(3, 5.0, 7.0, "それは違うと思う。"),
+        Subtitle(4, 6.5, 7.0, "違うと思う。"),         # contained in 3
+        Subtitle(5, 9.0, 10.0, "まさか"),
+        Subtitle(6, 10.2, 12.0, "まさかそんなこと"),   # stutter pair
+    ]
+    out, stats = CrossSubtitleProcessor().process(subs)
+    texts = [s.text for s in out]
+    assert "今日はとてもいい天気" in texts
+    assert "違うと思う。" not in texts
+    assert "まさかそんなこと" in texts
+    assert "まさか" not in texts
+    assert stats["containment_removed"] == 1
+    assert stats["stutters_collapsed"] == 1
+    assert stats["continuations_merged"] == 1

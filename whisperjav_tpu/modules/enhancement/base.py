@@ -72,6 +72,16 @@ def create_enhancer(backend: Optional[str] = "none", **kwargs) -> SpeechEnhancer
     if b in ("zipenhancer", "zip", "denoise"):
         from whisperjav_tpu.modules.enhancement.zip_jax import ZipJaxEnhancer
         return ZipJaxEnhancer(**kwargs)
+    if b in ("bs-roformer", "bsroformer", "vocals"):
+        from whisperjav_tpu.modules.enhancement.bandsplit_backends import (
+            BsRoformerBackend,
+        )
+        return BsRoformerBackend(**kwargs)
+    if b in ("clearvoice", "mossformer"):
+        from whisperjav_tpu.modules.enhancement.bandsplit_backends import (
+            ClearVoiceBackend,
+        )
+        return ClearVoiceBackend(**kwargs)
     logger.warning("unknown enhancer backend %r; using passthrough", backend)
     return PassthroughEnhancer()
 

@@ -1,0 +1,96 @@
+"""Cross-subtitle analysis: merges and dedup across neighboring cues.
+
+Role parity with reference ``whisperjav/modules/cross_subtitle_processor.py``
+(inter-subtitle merging/dedup analysis), extending the sanitizer's
+same-text dedup with:
+
+- continuation merge: a cue that ends mid-sentence (no terminal
+  punctuation) followed closely by a short continuation merges when the
+  result stays readable;
+- containment dedup: a cue whose text is wholly contained in an
+  overlapping neighbor is dropped (double-decode artifacts, common after
+  ensemble merging);
+- stutter-pair collapse: A, A+B sequences become A+B.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+from whisperjav_tpu.modules.srt import Subtitle
+
+SENTENCE_END = "。！？!?…"
+
+
+@dataclass
+class CrossSubtitleConfig:
+    continuation_gap_s: float = 0.5
+    max_merged_chars: int = 42
+    containment_overlap_s: float = 0.2
+
+
+class CrossSubtitleProcessor:
+    def __init__(self, config: CrossSubtitleConfig | None = None):
+        self.config = config or CrossSubtitleConfig()
+
+    def process(self, subs: Sequence[Subtitle]) -> Tuple[List[Subtitle], Dict]:
+        out = [Subtitle(s.index, s.start, s.end, s.text) for s in subs]
+        stats = {"containment_removed": 0, "continuations_merged": 0,
+                 "stutters_collapsed": 0}
+        out = self._containment_dedup(out, stats)
+        out = self._stutter_collapse(out, stats)
+        out = self._continuation_merge(out, stats)
+        for i, s in enumerate(out, start=1):
+            s.index = i
+        return out, stats
+
+    # ------------------------------------------------------------------
+    def _containment_dedup(self, subs, stats):
+        cfg = self.config
+        kept: List[Subtitle] = []
+        for s in subs:
+            drop = False
+            for n in kept[-2:]:
+                overlap = min(s.end, n.end) - max(s.start, n.start)
+                if overlap >= cfg.containment_overlap_s and s.text and \
+                        s.text in n.text and s.text != n.text:
+                    drop = True
+                    break
+            if drop:
+                stats["containment_removed"] += 1
+            else:
+                kept.append(s)
+        return kept
+
+    def _stutter_collapse(self, subs, stats):
+        out: List[Subtitle] = []
+        for s in subs:
+            if (out and s.text.startswith(out[-1].text)
+                    and len(s.text) > len(out[-1].text)
+                    and s.start - out[-1].end < 1.0):
+                stats["stutters_collapsed"] += 1
+                out[-1] = Subtitle(out[-1].index, out[-1].start, s.end,
+                                   s.text)
+            else:
+                out.append(s)
+        return out
+
+    def _continuation_merge(self, subs, stats):
+        cfg = self.config
+        out: List[Subtitle] = []
+        for s in subs:
+            if (out
+                    and out[-1].text
+                    and out[-1].text[-1] not in SENTENCE_END
+                    and not out[-1].text.endswith("、")
+                    and s.start - out[-1].end <= cfg.continuation_gap_s
+                    and len(out[-1].text) + len(s.text)
+                    <= cfg.max_merged_chars
+                    and len(s.text) <= len(out[-1].text)):
+                stats["continuations_merged"] += 1
+                out[-1] = Subtitle(out[-1].index, out[-1].start, s.end,
+                                   out[-1].text + s.text)
+            else:
+                out.append(s)
+        return out
