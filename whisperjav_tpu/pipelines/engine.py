@@ -190,7 +190,13 @@ class TranscriptionEngine:
         no_speech = np.array(result.no_speech_prob)
 
         # temperature fallback: re-decode whole batch at higher temperature,
-        # adopt replacements only for rows that failed quality gates
+        # adopt replacements only for rows that failed quality gates. The
+        # ladder bails early when a retry stops improving mean logprob —
+        # bounding the cost on pathological audio where no temperature can
+        # pass the gates (the reference ladder has no such bound and decodes
+        # every rung).
+        prev_mean = float(np.mean(avg_lp[:batch.n_valid])) \
+            if batch.n_valid else 0.0
         for t_i, temp in enumerate(temps[1:], start=1):
             failed = [b for b in range(batch.n_valid)
                       if self._row_needs_fallback(tokens[b], avg_lp[b])]
@@ -201,9 +207,16 @@ class TranscriptionEngine:
             retry = self.decode_encoded(xa, temp, seed + t_i)
             r_tokens = np.asarray(retry.tokens)
             r_avg = np.asarray(retry.avg_logprob)
+            improved = False
             for b in failed:
-                tokens[b] = r_tokens[b]
-                avg_lp[b] = r_avg[b]
+                if r_avg[b] > avg_lp[b]:
+                    tokens[b] = r_tokens[b]
+                    avg_lp[b] = r_avg[b]
+                    improved = True
+            mean_now = float(np.mean(avg_lp[:batch.n_valid]))
+            if not improved or mean_now < prev_mean + 0.02:
+                break
+            prev_mean = mean_now
 
         out: List[List[DecodedSegment]] = []
         for b in range(batch.n_valid):
