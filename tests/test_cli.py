@@ -86,3 +86,17 @@ def test_main_translate_identity(tmp_path, tiny_loader):
     assert rc == 0
     translated = list(out.glob("t.ja.*.srt")) + list(out.glob("t.en.srt"))
     assert any(p.exists() for p in translated)
+
+
+@pytest.mark.slow
+def test_main_with_prompt_and_overrides(tmp_path, tiny_loader):
+    wav = _wav(tmp_path, "p.wav", 4.0)
+    out = tmp_path / "out"
+    rc = cli.main([str(wav), "--mode", "fast", "--batch-size", "2",
+                   "--output-dir", str(out),
+                   "--prompt", "成人向けビデオの字幕",
+                   "--beam-size", "1", "--no-timestamps",
+                   "--logprob-threshold", "-2.0",
+                   "--vad-threshold", "0.4"])
+    assert rc == 0
+    assert (out / "p.ja.whisperjav.srt").exists()

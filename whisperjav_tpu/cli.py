@@ -49,9 +49,21 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="override scene backend (energy/semantic/none)")
     p.add_argument("--enhancer", default=None,
                    help="speech enhancement backend "
-                        "(none/dsp/zipenhancer)")
+                        "(none/dsp/zipenhancer/bs-roformer/clearvoice)")
     p.add_argument("--enhancer-weights", default=None,
                    help=".npz weights for the enhancement model")
+    # fine-grained decode/VAD overrides (reference flag-surface parity)
+    p.add_argument("--beam-size", type=int, default=None)
+    p.add_argument("--no-timestamps", action="store_true",
+                   help="decode without timestamp tokens")
+    p.add_argument("--prompt", default=None,
+                   help="initial prompt text conditioning the decoder")
+    p.add_argument("--logprob-threshold", type=float, default=None)
+    p.add_argument("--no-speech-threshold", type=float, default=None)
+    p.add_argument("--repetition-penalty", type=float, default=None)
+    p.add_argument("--vad-threshold", type=float, default=None)
+    p.add_argument("--max-group-duration", type=float, default=None,
+                   help="max seconds of speech per decode window")
     p.add_argument("--no-sanitize", action="store_true",
                    help="skip subtitle sanitization")
     p.add_argument("--ensemble", action="store_true",
@@ -123,6 +135,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         batch_size=args.batch_size,
         vad_backend=args.vad_backend, scene_backend=args.scene_backend,
         enhancer_backend=args.enhancer, enhancer_kwargs=enhancer_kwargs,
+        beam_size=args.beam_size,
+        logprob_threshold=args.logprob_threshold,
+        no_speech_threshold=args.no_speech_threshold,
+        repetition_penalty=args.repetition_penalty,
+        vad_threshold=args.vad_threshold,
+        max_group_duration_s=args.max_group_duration,
+        initial_prompt=args.prompt,
+        no_timestamps=args.no_timestamps,
     )
 
     if args.dump_params:

@@ -109,6 +109,8 @@ class PipelineConfig:
     vad_kwargs: Dict = field(default_factory=dict)
     enhancer_backend: Optional[str] = None
     enhancer_kwargs: Dict = field(default_factory=dict)
+    initial_prompt: Optional[str] = None
+    no_timestamps: bool = False
 
     @property
     def model(self) -> str:
@@ -154,6 +156,10 @@ def resolve_pipeline_config(
         cfg.enhancer_backend = clean["enhancer_backend"]
     if "enhancer_kwargs" in clean:
         cfg.enhancer_kwargs = clean["enhancer_kwargs"]
+    if "initial_prompt" in clean:
+        cfg.initial_prompt = clean["initial_prompt"]
+    if clean.get("no_timestamps"):
+        cfg.no_timestamps = True
     # fidelity mode enhances by default (reference: fidelity pipeline runs
     # the enhancement phase; balanced can opt in via --enhancer)
     if mode == "fidelity" and cfg.enhancer_backend is None:

@@ -67,6 +67,7 @@ class TranscriptionEngine:
         mesh: Optional[Mesh] = None,
         tokenizer: Optional[WhisperTokenizer] = None,
         compute_dtype=jnp.bfloat16,
+        prompt_tokens: Tuple[int, ...] = (),
     ):
         self.config = config
         self.options = options
@@ -91,13 +92,17 @@ class TranscriptionEngine:
             mel = log_mel_spectrogram(audio, n_mels=config_.n_mels)
             return encode(params, config_, mel.astype(compute_dtype))
 
+        prompt_ = tuple(prompt_tokens)
+
         def _decode(params, xa, temperature, rng):
             return decode_greedy(params, config_, xa, options_,
+                                 prompt=prompt_,
                                  temperature=temperature, rng=rng)
 
         def _decode_beam(params, xa):
             from whisperjav_tpu.models.whisper.decode import decode_beam
-            return decode_beam(params, config_, xa, options_)
+            return decode_beam(params, config_, xa, options_,
+                               prompt=prompt_)
 
         if mesh is not None:
             repl = NamedSharding(mesh, P())

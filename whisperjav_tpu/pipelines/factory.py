@@ -59,7 +59,8 @@ def build_pipeline(
     options = DecodeOptions(
         task=cfg.task,
         language=cfg.language,
-        with_timestamps=cfg.mode.with_timestamps,
+        with_timestamps=(cfg.mode.with_timestamps
+                         and not getattr(cfg, "no_timestamps", False)),
         repetition_penalty=sens.repetition_penalty,
         beam_size=sens.beam_size,
         cross_kv_int8=True,   # production default: halves decode HBM traffic
@@ -73,9 +74,17 @@ def build_pipeline(
     )
     tokenizer = WhisperTokenizer(model_config,
                                  find_tokenizer_files(checkpoint))
+    prompt_tokens: tuple = ()
+    initial_prompt = getattr(cfg, "initial_prompt", None)
+    if initial_prompt:
+        prompt_tokens = tuple(tokenizer.encode(initial_prompt))[-200:]
+        if not tokenizer.is_real:
+            logger.warning("--prompt set without a real tokenizer; prompt "
+                           "conditioning uses fallback token ids")
     engine = TranscriptionEngine(
         model_config, params, options=options, thresholds=thresholds,
         batch_size=cfg.batch_size, mesh=mesh, tokenizer=tokenizer,
+        prompt_tokens=prompt_tokens,
     )
     vad_kwargs = dict(cfg.vad_kwargs)
     if cfg.mode.vad_backend == "energy":
