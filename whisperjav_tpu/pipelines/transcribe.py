@@ -129,6 +129,7 @@ class TranscribePipeline:
         t_asr = time.time() - t0
 
         scene_subs = []
+        window_diag = []
         for window, segments in results:
             # defensive timestamp hardening: drop segments that start past
             # the real audio, clamp ends into the window (reference does the
@@ -137,6 +138,18 @@ class TranscribePipeline:
                     for s in segments
                     if s.text.strip() and s.start < window.duration]
             scene_subs.append((subs, window.abs_start))
+            window_diag.append({
+                "scene": window.scene_idx, "group": window.group_idx,
+                "start": round(window.abs_start, 3),
+                "duration": round(window.duration, 3),
+                "segments": len(segments),
+                "avg_logprob": round(segments[0].avg_logprob, 4)
+                if segments else None,
+                "no_speech_prob": round(segments[0].no_speech_prob, 4)
+                if segments else None,
+                "chars": sum(len(s.text) for s in segments),
+            })
+        self._last_window_diagnostics = window_diag
         subtitles = stitch(scene_subs)
         stats.update({
             "segmentation_s": round(t_seg, 3),
@@ -184,6 +197,13 @@ class TranscribePipeline:
         meta_path = output_dir / f"{media.basename}.whisperjav.json"
         meta_path.write_text(json.dumps(metadata, indent=2, default=str),
                              encoding="utf-8")
+        # per-window decode diagnostic, role of the reference's
+        # `.transcribe.json` (faster_whisper_pro_asr.py:1034-1071)
+        diag = getattr(self, "_last_window_diagnostics", None)
+        if diag is not None:
+            (output_dir / f"{media.basename}.transcribe.json").write_text(
+                json.dumps({"windows": diag}, indent=1, default=str),
+                encoding="utf-8")
         if self.tracer:
             self.tracer.event("file_complete", stats)
         logger.info("wrote %s (%d subtitles, RTF %sx)", srt_path.name,
