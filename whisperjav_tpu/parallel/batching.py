@@ -34,6 +34,8 @@ class Window:
     group_idx: int = 0
     speech_segments: List[Tuple[float, float]] = field(default_factory=list)
     # window-relative speech regions, for diagnostics / timestamp fallback
+    members: List[Tuple[float, "Window"]] = field(default_factory=list)
+    # non-empty for PACKED windows: (offset_in_window_s, original window)
 
 
 def windows_from_segmentation(
@@ -65,6 +67,92 @@ def windows_from_segmentation(
                              for s in group.segments],
         ))
     return windows
+
+
+def pack_windows(
+    windows: Sequence[Window],
+    sample_rate: int = WHISPER_SAMPLE_RATE,
+    max_duration_s: float = 28.0,
+    gap_s: float = 0.6,
+) -> List[Window]:
+    """Pack short decode windows into shared 30 s windows.
+
+    Short VAD groups (5-7 s subtitle-granularity presets) leave most of
+    each Whisper window empty; the encoder/decoder cost is per WINDOW, so
+    packing k groups into one window divides device cost by ~k. Groups are
+    separated by ``gap_s`` of silence; decoded segments are routed back to
+    their source group by timestamp (see unpack_segments). Windows are
+    consumed in order, so packs stay (scene, group)-contiguous.
+    """
+    gap = int(gap_s * sample_rate)
+    cap = int(max_duration_s * sample_rate)
+    packed: List[Window] = []
+    cur: List[Window] = []
+    cur_len = 0
+
+    def flush():
+        nonlocal cur, cur_len
+        if not cur:
+            return
+        if len(cur) == 1:
+            packed.append(cur[0])
+        else:
+            parts: List[np.ndarray] = []
+            members: List[Tuple[float, Window]] = []
+            pos = 0
+            for w in cur:
+                if parts:
+                    parts.append(np.zeros(gap, np.float32))
+                    pos += gap
+                members.append((pos / sample_rate, w))
+                parts.append(w.audio)
+                pos += len(w.audio)
+            audio = np.concatenate(parts)
+            packed.append(Window(
+                audio=audio, abs_start=cur[0].abs_start,
+                duration=len(audio) / sample_rate,
+                scene_idx=cur[0].scene_idx, group_idx=cur[0].group_idx,
+                members=members))
+        cur, cur_len = [], 0
+
+    for w in windows:
+        extra = len(w.audio) + (gap if cur else 0)
+        if cur and cur_len + extra > cap:
+            flush()
+            extra = len(w.audio)
+        cur.append(w)
+        cur_len += extra
+    flush()
+    return packed
+
+
+def unpack_segments(window: Window, segments: list) -> List[Tuple[Window, list]]:
+    """Route a packed window's decoded segments back to member windows.
+
+    Each segment is assigned to the member whose span contains its
+    midpoint; times are re-based to the member and clamped into it.
+    Returns [(member_window, member_segments)] for ALL members (possibly
+    empty lists). Non-packed windows pass through unchanged.
+    """
+    if not window.members:
+        return [(window, segments)]
+    out = {id(m): (m, []) for _, m in window.members}
+    bounds = [(off, off + m.duration, m) for off, m in window.members]
+    for seg in segments:
+        mid = (seg.start + seg.end) / 2.0
+        target = None
+        for off, end, m in bounds:
+            if off <= mid < end + 1e-6:
+                target = (off, m)
+                break
+        if target is None:  # inside a silence gap: snap to nearest member
+            target = min(((off, m) for off, end, m in bounds),
+                         key=lambda t: abs((t[0] + t[1].duration / 2) - mid))
+        off, m = target
+        seg.start = min(max(seg.start - off, 0.0), m.duration)
+        seg.end = min(max(seg.end - off, seg.start), m.duration)
+        out[id(m)][1].append(seg)
+    return [out[id(m)] for _, m in window.members]
 
 
 @dataclass

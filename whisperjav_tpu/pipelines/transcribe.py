@@ -55,6 +55,7 @@ class TranscribePipeline:
         postprocessor=None,          # SRTPostProcessor-compatible, optional
         tracer=None,                 # ParameterTracer-compatible, optional
         output_format: str = "srt",
+        pack: bool = True,           # pack short groups into shared windows
     ):
         self.engine = engine
         self.scene_detector = create_scene_detector(scene_backend,
@@ -71,6 +72,7 @@ class TranscribePipeline:
         self.postprocessor = postprocessor
         self.tracer = tracer
         self.output_format = output_format
+        self.pack = pack
 
     # ------------------------------------------------------------------
     def collect_windows(self, audio: np.ndarray,
@@ -107,9 +109,14 @@ class TranscribePipeline:
             windows.extend(windows_from_segmentation(audio, scene, seg,
                                                      sample_rate))
             vad_stats["groups"] += len(seg.groups)
+        raw_windows = len(windows)
+        if self.pack and len(windows) > 1:
+            from whisperjav_tpu.parallel.batching import pack_windows
+            windows = pack_windows(windows, sample_rate)
         stats = {"scene_backend": scene_result.backend,
                  "scene_stats": scene_result.stats, **vad_stats,
                  "enhanced_scenes": enhanced_ok,
+                 "groups_packed": raw_windows,
                  "windows": len(windows)}
         return windows, stats
 
@@ -128,9 +135,14 @@ class TranscribePipeline:
         results = self.engine.transcribe_windows(windows, seed=seed)
         t_asr = time.time() - t0
 
+        from whisperjav_tpu.parallel.batching import unpack_segments
+        flat_results = []
+        for window, segments in results:
+            flat_results.extend(unpack_segments(window, segments))
+
         scene_subs = []
         window_diag = []
-        for window, segments in results:
+        for window, segments in flat_results:
             # defensive timestamp hardening: drop segments that start past
             # the real audio, clamp ends into the window (reference does the
             # analogous clamping in subtitle_pipeline/hardening.py:45)
