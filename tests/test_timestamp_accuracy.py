@@ -43,7 +43,10 @@ def test_cue_times_track_speech_bursts():
         audio[int(a * SR):int(b * SR)] = burst(b - a, seed=i)
 
     cfg = resolve_pipeline_config(mode="balanced", sensitivity="balanced",
-                                  batch_size=4, vad_backend="energy")
+                                  batch_size=4, vad_backend="energy",
+                                  pack_windows=False)
+    # packing OFF: per-burst coverage is only guaranteed window-per-group
+    # under random weights (packed routing is covered in test_packing)
     pipe = build_pipeline(cfg, model_config=TINY,
                           params=init_params(TINY, jax.random.PRNGKey(0)))
     subs, stats = pipe.process_audio(audio, SR)

@@ -64,6 +64,8 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--vad-threshold", type=float, default=None)
     p.add_argument("--max-group-duration", type=float, default=None,
                    help="max seconds of speech per decode window")
+    p.add_argument("--no-pack", action="store_true",
+                   help="disable packing multiple groups per decode window")
     p.add_argument("--no-sanitize", action="store_true",
                    help="skip subtitle sanitization")
     p.add_argument("--ensemble", action="store_true",
@@ -143,6 +145,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         max_group_duration_s=args.max_group_duration,
         initial_prompt=args.prompt,
         no_timestamps=args.no_timestamps,
+        pack_windows=not args.no_pack,
     )
 
     if args.dump_params:

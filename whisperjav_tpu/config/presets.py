@@ -111,6 +111,7 @@ class PipelineConfig:
     enhancer_kwargs: Dict = field(default_factory=dict)
     initial_prompt: Optional[str] = None
     no_timestamps: bool = False
+    pack_windows: bool = True
 
     @property
     def model(self) -> str:
@@ -160,6 +161,8 @@ def resolve_pipeline_config(
         cfg.initial_prompt = clean["initial_prompt"]
     if clean.get("no_timestamps"):
         cfg.no_timestamps = True
+    if "pack_windows" in clean:
+        cfg.pack_windows = clean["pack_windows"]
     # fidelity mode enhances by default (reference: fidelity pipeline runs
     # the enhancement phase; balanced can opt in via --enhancer)
     if mode == "fidelity" and cfg.enhancer_backend is None:

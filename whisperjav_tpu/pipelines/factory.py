@@ -106,4 +106,5 @@ def build_pipeline(
         enhancer_kwargs=getattr(cfg, "enhancer_kwargs", None),
         postprocessor=postprocessor,
         tracer=tracer,
+        pack=getattr(cfg, "pack_windows", True),
     )
