@@ -69,3 +69,34 @@ def test_word_timestamps_skips_timestamp_tokens(model):
                           TINY.timestamp_begin + 50, TINY.eot])
     spans = word_timestamps(params, TINY, xa, generated)
     assert len(spans) == 2   # only the text tokens
+
+
+@pytest.mark.slow
+def test_engine_word_timestamp_refinement():
+    """Engine path with word_timestamps=True produces valid segments."""
+    from whisperjav_tpu.models.whisper.decode import DecodeOptions
+    from whisperjav_tpu.parallel.batching import Window
+    from whisperjav_tpu.pipelines.engine import (
+        QualityThresholds, TranscriptionEngine,
+    )
+    # full-window config: the engine always feeds 30 s windows (1500 ctx)
+    cfg_full = WhisperConfig(name="wa-engine", n_audio_state=64,
+                             n_audio_head=4, n_audio_layer=2,
+                             n_text_state=64, n_text_head=4, n_text_layer=2)
+    params = init_params(cfg_full, jax.random.PRNGKey(3))
+    eng = TranscriptionEngine(
+        cfg_full, params, options=DecodeOptions(max_new_tokens=12),
+        thresholds=QualityThresholds(temperatures=(0.0,)),
+        batch_size=2, word_timestamps=True)
+    rng = np.random.default_rng(1)
+    clips = [Window((0.2 * rng.standard_normal(16000 * 3)).astype(np.float32),
+                    0.0, 3.0, 0, i) for i in range(2)]
+    results = eng.transcribe_windows(clips)
+    for w, segs in results:
+        for s in segs:
+            # engine contract: refinement keeps ordering and finiteness;
+            # out-of-window segments are the PIPELINE's filter concern
+            assert np.isfinite([s.start, s.end]).all()
+            assert s.start <= s.end
+            if s.start < w.duration:   # in-window: refinement stays inside
+                assert s.end <= w.duration + 0.5 + 1e-6

@@ -66,6 +66,9 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="max seconds of speech per decode window")
     p.add_argument("--no-pack", action="store_true",
                    help="disable packing multiple groups per decode window")
+    p.add_argument("--word-timestamps", action="store_true",
+                   help="refine cue boundaries via cross-attention word "
+                        "alignment (one extra forward pass per batch)")
     p.add_argument("--no-sanitize", action="store_true",
                    help="skip subtitle sanitization")
     p.add_argument("--ensemble", action="store_true",
@@ -146,6 +149,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         initial_prompt=args.prompt,
         no_timestamps=args.no_timestamps,
         pack_windows=not args.no_pack,
+        word_timestamps=args.word_timestamps,
     )
 
     if args.dump_params:

@@ -112,6 +112,7 @@ class PipelineConfig:
     initial_prompt: Optional[str] = None
     no_timestamps: bool = False
     pack_windows: bool = True
+    word_timestamps: bool = False
 
     @property
     def model(self) -> str:
@@ -163,6 +164,8 @@ def resolve_pipeline_config(
         cfg.no_timestamps = True
     if "pack_windows" in clean:
         cfg.pack_windows = clean["pack_windows"]
+    if clean.get("word_timestamps"):
+        cfg.word_timestamps = True
     # fidelity mode enhances by default (reference: fidelity pipeline runs
     # the enhancement phase; balanced can opt in via --enhancer)
     if mode == "fidelity" and cfg.enhancer_backend is None:

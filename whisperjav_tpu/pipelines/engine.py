@@ -68,12 +68,14 @@ class TranscriptionEngine:
         tokenizer: Optional[WhisperTokenizer] = None,
         compute_dtype=jnp.bfloat16,
         prompt_tokens: Tuple[int, ...] = (),
+        word_timestamps: bool = False,
     ):
         self.config = config
         self.options = options
         self.thresholds = thresholds
         self.batch_size = batch_size
         self.mesh = mesh
+        self.word_timestamps = word_timestamps
         self.tokenizer = tokenizer or WhisperTokenizer(config)
         self.compute_dtype = compute_dtype
         self.params = jax.tree.map(
@@ -240,7 +242,43 @@ class TranscriptionEngine:
             for s in segs:
                 s.text = self.tokenizer.decode(s.tokens)
             out.append(segs)
+
+        if self.word_timestamps:
+            self._refine_with_word_alignment(xa, tokens, batch, out)
         return out
+
+    # ------------------------------------------------------------------
+    def _refine_with_word_alignment(self, xa, tokens, batch, out) -> None:
+        """Tighten segment boundaries using cross-attention word spans.
+
+        One teacher-forced pass per valid row; each segment's start/end
+        snaps to its first/last word span when the spans fall inside the
+        segment's timestamp-token bounds ±0.5 s (attention alignment
+        refines, never relocates)."""
+        from whisperjav_tpu.models.whisper.word_align import word_timestamps
+        for b in range(batch.n_valid):
+            segs = out[b]
+            if not segs:
+                continue
+            w = batch.windows[b]
+            spans = word_timestamps(
+                self.params, self.config, xa[b:b + 1], tokens[b],
+                tokenizer=self.tokenizer, audio_duration=w.duration)
+            if not spans:
+                continue
+            si = 0
+            for seg in segs:
+                n = len(seg.tokens)
+                seg_spans = spans[si: si + n]
+                si += n
+                if not seg_spans:
+                    continue
+                new_start = seg_spans[0].start
+                new_end = seg_spans[-1].end
+                if abs(new_start - seg.start) <= 0.5:
+                    seg.start = new_start
+                if abs(new_end - seg.end) <= 0.5:
+                    seg.end = max(new_end, seg.start + 0.05)
 
     # ------------------------------------------------------------------
     def transcribe_windows(

@@ -85,6 +85,7 @@ def build_pipeline(
         model_config, params, options=options, thresholds=thresholds,
         batch_size=cfg.batch_size, mesh=mesh, tokenizer=tokenizer,
         prompt_tokens=prompt_tokens,
+        word_timestamps=getattr(cfg, "word_timestamps", False),
     )
     vad_kwargs = dict(cfg.vad_kwargs)
     if cfg.mode.vad_backend == "energy":
