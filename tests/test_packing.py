@@ -108,3 +108,47 @@ def test_pipeline_packing_end_to_end():
     for s in subs:
         assert any(s.start >= a - tol and s.end <= b + tol
                    for a, b in bursts), (s.start, s.end)
+
+
+def test_chunked_windows_overlap_and_ranges():
+    from whisperjav_tpu.parallel.batching import chunked_windows
+    audio = np.zeros(70 * SR, np.float32)
+    ws = chunked_windows(audio, SR, chunk_s=30.0, overlap_s=5.0)
+    assert [round(w.abs_start, 1) for w in ws] == [0.0, 25.0, 50.0]
+    # first window owns its start, last owns its end
+    assert ws[0].keep_range[0] == 0.0
+    assert ws[-1].keep_range[1] == pytest.approx(ws[-1].duration)
+    # interior boundaries split the overlap at its midpoint
+    assert ws[0].keep_range[1] == pytest.approx(27.5)
+    assert ws[1].keep_range[0] == pytest.approx(2.5)
+    # reconciled ownership covers the file without double-claims
+    spans = [(w.abs_start + w.keep_range[0], w.abs_start + w.keep_range[1])
+             for w in ws]
+    for (a1, b1), (a2, b2) in zip(spans[:-1], spans[1:]):
+        assert b1 == pytest.approx(a2)
+    assert spans[0][0] == 0.0
+    assert spans[-1][1] == pytest.approx(70.0)
+
+
+def test_chunked_pipeline_mode():
+    import jax
+    from whisperjav_tpu.config.presets import resolve_pipeline_config
+    from whisperjav_tpu.models.whisper.config import WhisperConfig
+    from whisperjav_tpu.models.whisper.model import init_params
+    from whisperjav_tpu.pipelines.factory import build_pipeline
+
+    TINY = WhisperConfig(name="chunk-tiny", n_audio_state=64, n_audio_head=4,
+                         n_audio_layer=2, n_text_state=64, n_text_head=4,
+                         n_text_layer=2)
+    cfg = resolve_pipeline_config(mode="transformers", batch_size=2)
+    pipe = build_pipeline(cfg, model_config=TINY,
+                          params=init_params(TINY, jax.random.PRNGKey(0)))
+    assert pipe.chunked
+    audio = np.zeros(40 * SR, np.float32)
+    t = np.arange(len(audio)) / SR
+    audio += (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    subs, stats = pipe.process_audio(audio.astype(np.float32), SR)
+    assert stats["scene_backend"] == "chunked"
+    assert stats["windows"] == 2
+    for s in subs:
+        assert 0 <= s.start <= s.end <= 40.5

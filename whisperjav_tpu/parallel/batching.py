@@ -36,6 +36,43 @@ class Window:
     # window-relative speech regions, for diagnostics / timestamp fallback
     members: List[Tuple[float, "Window"]] = field(default_factory=list)
     # non-empty for PACKED windows: (offset_in_window_s, original window)
+    keep_range: Optional[Tuple[float, float]] = None
+    # for OVERLAPPED chunked windows: only segments whose midpoint falls in
+    # [lo, hi) (window-relative) are kept — boundary reconciliation
+
+
+def chunked_windows(
+    audio: np.ndarray,
+    sample_rate: int = WHISPER_SAMPLE_RATE,
+    chunk_s: float = 30.0,
+    overlap_s: float = 5.0,
+) -> List[Window]:
+    """Fixed overlapped chunking (HF-pipeline-style long-form decoding,
+    reference: whisperjav/modules/transformers_asr.py:31 — chunked ASR
+    with stride overlap). Each chunk owns the span
+    [overlap/2, chunk − overlap/2); boundary segments are reconciled by
+    midpoint via ``keep_range``."""
+    hop = chunk_s - overlap_s
+    total = len(audio) / sample_rate
+    windows: List[Window] = []
+    start = 0.0
+    idx = 0
+    while start < total:
+        a = int(start * sample_rate)
+        b = min(a + int(chunk_s * sample_rate), len(audio))
+        clip = audio[a:b]
+        dur = len(clip) / sample_rate
+        lo = 0.0 if idx == 0 else overlap_s / 2.0
+        hi = dur if b >= len(audio) else chunk_s - overlap_s / 2.0
+        windows.append(Window(
+            audio=np.ascontiguousarray(clip, np.float32),
+            abs_start=start, duration=dur, scene_idx=idx, group_idx=0,
+            keep_range=(lo, hi)))
+        if b >= len(audio):
+            break
+        start += hop
+        idx += 1
+    return windows
 
 
 def windows_from_segmentation(

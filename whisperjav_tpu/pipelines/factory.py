@@ -108,4 +108,5 @@ def build_pipeline(
         postprocessor=postprocessor,
         tracer=tracer,
         pack=getattr(cfg, "pack_windows", True),
+        chunked=(cfg.mode.name == "transformers"),
     )

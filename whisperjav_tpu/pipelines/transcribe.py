@@ -56,6 +56,8 @@ class TranscribePipeline:
         tracer=None,                 # ParameterTracer-compatible, optional
         output_format: str = "srt",
         pack: bool = True,           # pack short groups into shared windows
+        chunked: bool = False,       # overlapped fixed chunking, no VAD
+        chunk_overlap_s: float = 5.0,
     ):
         self.engine = engine
         self.scene_detector = create_scene_detector(scene_backend,
@@ -73,11 +75,21 @@ class TranscribePipeline:
         self.tracer = tracer
         self.output_format = output_format
         self.pack = pack
+        self.chunked = chunked
+        self.chunk_overlap_s = chunk_overlap_s
 
     # ------------------------------------------------------------------
     def collect_windows(self, audio: np.ndarray,
                         sample_rate: int) -> Tuple[List[Window], Dict]:
         """Scene detection + per-scene VAD → flat window list."""
+        if self.chunked:
+            from whisperjav_tpu.parallel.batching import chunked_windows
+            windows = chunked_windows(audio, sample_rate,
+                                      overlap_s=self.chunk_overlap_s)
+            return windows, {"scene_backend": "chunked",
+                             "windows": len(windows), "scenes": 0,
+                             "groups": len(windows), "failovers": 0,
+                             "groups_packed": len(windows)}
         scene_result = self.scene_detector.detect(audio, sample_rate)
         segmenter = create_segmenter(self.vad_backend, **self.vad_kwargs)
         windows: List[Window] = []
@@ -146,6 +158,10 @@ class TranscribePipeline:
             # defensive timestamp hardening: drop segments that start past
             # the real audio, clamp ends into the window (reference does the
             # analogous clamping in subtitle_pipeline/hardening.py:45)
+            if window.keep_range is not None:
+                lo, hi = window.keep_range
+                segments = [s for s in segments
+                            if lo <= (s.start + s.end) / 2.0 < hi]
             subs = [Subtitle(0, s.start, min(s.end, window.duration), s.text)
                     for s in segments
                     if s.text.strip() and s.start < window.duration]
