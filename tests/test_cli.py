@@ -100,3 +100,18 @@ def test_main_with_prompt_and_overrides(tmp_path, tiny_loader):
                    "--vad-threshold", "0.4"])
     assert rc == 0
     assert (out / "p.ja.whisperjav.srt").exists()
+
+
+@pytest.mark.slow
+def test_main_async_processing(tmp_path, tiny_loader):
+    w1 = _wav(tmp_path, "a1.wav", 4.0)
+    w2 = _wav(tmp_path, "a2.wav", 5.0)
+    out = tmp_path / "out"
+    rc = cli.main([str(w1), str(w2), "--mode", "fast", "--batch-size", "2",
+                   "--output-dir", str(out), "--async-processing",
+                   "--stats-file", str(tmp_path / "s.json")])
+    assert rc == 0
+    assert (out / "a1.ja.whisperjav.srt").exists()
+    assert (out / "a2.ja.whisperjav.srt").exists()
+    stats = json.loads((tmp_path / "s.json").read_text())
+    assert stats["files"] == 2 and stats["failures"] == 0

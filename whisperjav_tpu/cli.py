@@ -250,6 +250,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         pipeline = build_pipeline(cfg, checkpoint=args.checkpoint,
                                   postprocessor=postprocessor, tracer=tracer)
 
+    if args.async_processing and cfg.mode.name != "qwen":
+        from whisperjav_tpu.utils.async_processor import AsyncPipelineManager
+        t_start = time.time()
+        outcomes = AsyncPipelineManager(pipeline).process_files(
+            media, output_dir)
+        failures = sum(1 for o in outcomes if not o.ok)
+        summary = {
+            "files": len(media), "failures": failures,
+            "wall_s": round(time.time() - t_start, 2),
+            "results": [{"file": str(o.media.path), "ok": o.ok,
+                         "output": str(o.result) if o.ok else None,
+                         "error": o.error} for o in outcomes],
+        }
+        if args.stats_file:
+            Path(args.stats_file).write_text(
+                json.dumps(summary, indent=2, default=str), encoding="utf-8")
+        logger.info("done (async): %d file(s), %d failure(s), %.1fs",
+                    len(media), failures, summary["wall_s"])
+        return 0 if failures == 0 else 2
+
     batch_stats = []
     failures = 0
     t_start = time.time()

@@ -97,9 +97,17 @@ class AsyncPipelineManager:
         import json
         from whisperjav_tpu.modules.srt import Subtitle, save_srt, stitch
 
+        from whisperjav_tpu.parallel.batching import unpack_segments
         results = self.pipeline.engine.transcribe_windows(windows)
-        scene_subs = []
+        flat = []
         for window, segments in results:
+            flat.extend(unpack_segments(window, segments))
+        scene_subs = []
+        for window, segments in flat:
+            if window.keep_range is not None:
+                lo, hi = window.keep_range
+                segments = [s for s in segments
+                            if lo <= (s.start + s.end) / 2.0 < hi]
             subs = [Subtitle(0, s.start, min(s.end, window.duration), s.text)
                     for s in segments
                     if s.text.strip() and s.start < window.duration]
