@@ -46,7 +46,7 @@ def main():
     engine = TranscriptionEngine(
         config, params, options=options,
         thresholds=QualityThresholds(temperatures=(0.0,)),
-        batch_size=BATCH,
+        batch_size=BATCH, int8_weights=True,
     )
 
     rng = np.random.default_rng(0)

@@ -159,3 +159,17 @@ def test_int8_cross_kv_matches_fp(tiny_model):
     agree = (a == b).mean()
     assert agree > 0.7, f"int8 cross-KV diverged: {agree:.2f} agreement"
     assert np.isfinite(np.asarray(q8.avg_logprob)).all()
+
+
+def test_int8_decoder_weights_track_fp(tiny_model):
+    """int8 decoder weights + int8 cross-KV stay close to the fp decode."""
+    from whisperjav_tpu.models.whisper.quant import quantize_decoder_weights
+    params, xa = tiny_model
+    opts = DecodeOptions(max_new_tokens=16)
+    fp = decode_greedy(params, TINY, xa, opts)
+    q = decode_greedy(quantize_decoder_weights(params), TINY, xa,
+                      DecodeOptions(max_new_tokens=16, cross_kv_int8=True))
+    a, b = np.asarray(fp.tokens), np.asarray(q.tokens)
+    agree = (a == b).mean()
+    assert agree > 0.6, f"int8 weights diverged: {agree:.2f}"
+    assert np.isfinite(np.asarray(q.avg_logprob)).all()

@@ -66,6 +66,9 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="max seconds of speech per decode window")
     p.add_argument("--no-pack", action="store_true",
                    help="disable packing multiple groups per decode window")
+    p.add_argument("--int8-weights", action="store_true",
+                   help="int8-quantize decoder weights (CTranslate2-style "
+                        "int8 compute; slightly faster, near-lossless)")
     p.add_argument("--word-timestamps", action="store_true",
                    help="refine cue boundaries via cross-attention word "
                         "alignment (one extra forward pass per batch)")
@@ -150,6 +153,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         no_timestamps=args.no_timestamps,
         pack_windows=not args.no_pack,
         word_timestamps=args.word_timestamps,
+        int8_weights=args.int8_weights,
     )
 
     if args.dump_params:

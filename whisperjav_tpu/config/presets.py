@@ -113,6 +113,7 @@ class PipelineConfig:
     no_timestamps: bool = False
     pack_windows: bool = True
     word_timestamps: bool = False
+    int8_weights: bool = False
 
     @property
     def model(self) -> str:
@@ -166,6 +167,8 @@ def resolve_pipeline_config(
         cfg.pack_windows = clean["pack_windows"]
     if clean.get("word_timestamps"):
         cfg.word_timestamps = True
+    if clean.get("int8_weights"):
+        cfg.int8_weights = True
     # fidelity mode enhances by default (reference: fidelity pipeline runs
     # the enhancement phase; balanced can opt in via --enhancer)
     if mode == "fidelity" and cfg.enhancer_backend is None:

@@ -43,8 +43,18 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
             + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+def dense(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
+    """Linear layer; ``w`` is either an array (in, out) or a quantized
+    dict {"q": int8 (in, out), "s": f32 (1, out)} — the int8→compute-dtype
+    convert and the scale multiply fuse into the matmul, halving the
+    weight HBM stream (see models/whisper/quant.py)."""
+    if isinstance(w, dict):
+        out = jnp.dot(x, w["q"].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        out = out * w["s"].astype(jnp.float32)
+    else:
+        out = jnp.dot(x, w.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out.astype(x.dtype)
@@ -361,8 +371,14 @@ def decode_step(
         body, x, (dec["blocks"], cross.k, cross.v, cross.k_scale,
                   cross.v_scale, cache.k, cache.v))
     x = layer_norm(x, dec["ln_s"], dec["ln_b"])
-    logits = jnp.dot(x, dec["tok_emb"].T.astype(x.dtype),
-                     preferred_element_type=jnp.float32)
+    if "lm_head_q" in dec:          # int8 weight path (quant.py); f32 out
+        lm = dec["lm_head_q"]
+        logits = jnp.dot(x, lm["q"].astype(x.dtype),
+                         preferred_element_type=jnp.float32
+                         ) * lm["s"].astype(jnp.float32)
+    else:
+        logits = jnp.dot(x, dec["tok_emb"].T.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
     return logits, KVCache(new_k, new_v)
 
 

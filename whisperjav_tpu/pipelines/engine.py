@@ -69,6 +69,7 @@ class TranscriptionEngine:
         compute_dtype=jnp.bfloat16,
         prompt_tokens: Tuple[int, ...] = (),
         word_timestamps: bool = False,
+        int8_weights: bool = False,
     ):
         self.config = config
         self.options = options
@@ -82,6 +83,11 @@ class TranscriptionEngine:
             lambda x: jnp.asarray(x, compute_dtype)
             if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
             params)
+        if int8_weights:
+            from whisperjav_tpu.models.whisper.quant import (
+                quantize_decoder_weights,
+            )
+            self.params = quantize_decoder_weights(self.params)
 
         config_ = config
         options_ = options

@@ -86,6 +86,7 @@ def build_pipeline(
         batch_size=cfg.batch_size, mesh=mesh, tokenizer=tokenizer,
         prompt_tokens=prompt_tokens,
         word_timestamps=getattr(cfg, "word_timestamps", False),
+        int8_weights=getattr(cfg, "int8_weights", False),
     )
     vad_kwargs = dict(cfg.vad_kwargs)
     if cfg.mode.vad_backend == "energy":
