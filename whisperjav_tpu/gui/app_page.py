@@ -75,6 +75,17 @@ APP_HTML = """<!DOCTYPE html>
       <span>Skip existing outputs</span></div>
     <div class="chk"><input type="checkbox" id="make_vtt">
       <span>Also write VTT</span></div>
+    <label>Preset</label>
+    <div class="row">
+      <div><select id="preset"><option value="">(none)</option></select></div>
+      <div><input id="preset_name" placeholder="save as…"></div>
+    </div>
+    <div class="row">
+      <div><button id="save_preset" style="background:#3a3f48;color:#e8e8e8">
+        Save preset</button></div>
+      <div><button id="delete_preset" style="background:#3a3f48;color:#e8e8e8">
+        Delete</button></div>
+    </div>
     <button id="start">Start</button>
     <button id="cancel">Cancel</button>
   </div>
@@ -136,7 +147,46 @@ $('start').onclick = async () => {
   poll();
 };
 $('cancel').onclick = () => fetch('/api/cancel', { method: 'POST' });
+
+async function loadPresets() {
+  const ps = await (await fetch('/api/presets')).json();
+  const sel = $('preset'); sel.innerHTML = '<option value="">(none)</option>';
+  for (const name of Object.keys(ps)) {
+    const o = document.createElement('option');
+    o.value = name; o.textContent = name;
+    sel.appendChild(o);
+  }
+  sel.onchange = () => {
+    const p = ps[sel.value];
+    if (!p) return;
+    for (const [k, v] of Object.entries(p)) {
+      const el = $(k);
+      if (!el) continue;
+      if (el.type === 'checkbox') el.checked = !!v;
+      else el.value = v;
+    }
+  };
+}
+$('save_preset').onclick = async () => {
+  const name = $('preset_name').value.trim();
+  if (!name) { alert('enter a preset name'); return; }
+  const r = await (await fetch('/api/presets', { method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({ name, options: options() }) })).json();
+  if (!r.ok) { alert(r.error); return; }
+  loadPresets();
+};
+$('delete_preset').onclick = async () => {
+  const name = $('preset').value;
+  if (!name) return;
+  await fetch('/api/presets', { method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({ name, delete: true }) });
+  loadPresets();
+};
+
 loadSchema();
+loadPresets();
 </script>
 </body>
 </html>
