@@ -72,6 +72,16 @@ def build_pipeline(
         temperatures=sens.temperatures + tuple(
             t for t in (0.4, 0.6, 0.8, 1.0) if t > max(sens.temperatures)),
     )
+    # HBM guard: cross-KV scales with batch x beams; large-v2-class models
+    # fit ~48 effective rows per v5e chip with int8 cross-KV
+    effective_rows = cfg.batch_size * max(sens.beam_size, 1)
+    if model_config.n_audio_state >= 1280 and effective_rows > 48:
+        logger.warning(
+            "batch_size(%d) x beam_size(%d) = %d effective decode rows may "
+            "exceed single-chip HBM for %s; consider --batch-size %d",
+            cfg.batch_size, sens.beam_size, effective_rows,
+            model_config.name, max(48 // max(sens.beam_size, 1), 1))
+
     tokenizer = WhisperTokenizer(model_config,
                                  find_tokenizer_files(checkpoint))
     prompt_tokens: tuple = ()
