@@ -173,3 +173,21 @@ def test_int8_decoder_weights_track_fp(tiny_model):
     agree = (a == b).mean()
     assert agree > 0.6, f"int8 weights diverged: {agree:.2f}"
     assert np.isfinite(np.asarray(q.avg_logprob)).all()
+
+
+def test_first_token_forced_timestamp_and_text_allowed_after(tiny_model):
+    """Review regressions: step 0 must emit a timestamp (<|0.00|> legal),
+    and TEXT may directly follow the opening timestamp (pairing-rule
+    initialization), with strictly-increasing segment openings."""
+    params, xa = tiny_model
+    res = decode_greedy(params, TINY, xa, DecodeOptions(max_new_tokens=24))
+    for row in np.asarray(res.tokens):
+        toks = [int(t) for t in row if t != TINY.eot]
+        if not toks:
+            continue
+        assert toks[0] >= TINY.timestamp_begin      # forced first timestamp
+        # collect timestamp pairs: openings must strictly increase
+        ts = [t for t in toks if t >= TINY.timestamp_begin]
+        openings = ts[0::2]
+        for a, b in zip(openings[:-1], openings[1:]):
+            assert b > a

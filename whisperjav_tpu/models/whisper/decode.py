@@ -141,23 +141,36 @@ def _apply_logit_rules(logits, state, config: WhisperConfig,
         is_ts = idx >= ts_begin
         neg = jnp.float32(-jnp.inf)
 
-        # pairing: after a lone timestamp, only text may not follow — the
-        # pair must close (non-ts suppressed except eot); after a closed
-        # pair, another timestamp may not immediately open
+        # pairing (whisper ApplyTimestampRules): after "text <ts>" the pair
+        # must close (only timestamps/EOT may follow); after "<ts> <ts>"
+        # (closed pair) another timestamp may not immediately open.
+        # penult_was_ts initializes True (a 1-token sequence counts as
+        # penultimate-timestamp in the reference rule), so the token right
+        # after the opening timestamp is allowed to be text.
         lone_ts = state.last_was_ts & ~state.penult_was_ts
         closed_ts = state.last_was_ts & state.penult_was_ts
         sup_pair = jnp.where(
             lone_ts[:, None] & ~is_ts & (idx != config.eot), neg, 0.0)
         sup_closed = jnp.where(closed_ts[:, None] & is_ts, neg, 0.0)
 
-        # monotonic: timestamps must not decrease
-        sup_mono = jnp.where(is_ts & (idx < state.max_ts[:, None]), neg, 0.0)
+        # monotonic: the next OPENING timestamp must be strictly greater
+        # than the last seen one (suppress idx <= max_ts); when the pair is
+        # still open (lone_ts), the closing timestamp may equal it
+        # (suppress only idx < max_ts)
+        strict = ~lone_ts
+        mono_bound = state.max_ts + strict.astype(jnp.int32)
+        sup_mono = jnp.where(is_ts & (idx < mono_bound[:, None]), neg, 0.0)
+        # the monotonic rule only applies once a timestamp exists; step 0
+        # forces one, so every later step qualifies (<|0.00|> stays legal
+        # at the first position)
+        sup_mono = jnp.where(is_first, 0.0, sup_mono)
         logits = logits + sup_pair + sup_closed + sup_mono
 
-        # max initial timestamp at the first sampled position
+        # first sampled position must BE a timestamp, bounded by
+        # max_initial_timestamp (whisper forces logits[:tb] = -inf there)
         max_init = ts_begin + int(round(
             options.max_initial_timestamp / options.ts_precision))
-        sup_init = jnp.where(is_ts & (idx > max_init), neg, 0.0)
+        sup_init = jnp.where(~is_ts | (idx > max_init), neg, 0.0)
         logits = jnp.where(is_first, logits + sup_init, logits)
 
         # force-timestamp rule: if P(any timestamp) > max P(text token),
@@ -193,7 +206,9 @@ def _greedy_loop(params: Params, config: WhisperConfig,
         length=jnp.zeros((b,), jnp.int32),
         finished=jnp.zeros((b,), jnp.bool_),
         last_was_ts=jnp.zeros((b,), jnp.bool_),
-        penult_was_ts=jnp.zeros((b,), jnp.bool_),
+        # True at start: a 1-token sequence counts as penultimate-timestamp
+        # in whisper's pairing rule (see _apply_logit_rules)
+        penult_was_ts=jnp.ones((b,), jnp.bool_),
         max_ts=jnp.full((b,), config.timestamp_begin, jnp.int32),
         rng=rng,
     )
@@ -399,7 +414,7 @@ def _beam_loop(params: Params, config: WhisperConfig, options: DecodeOptions,
         length=jnp.zeros((bk,), jnp.int32),
         finished=jnp.zeros((bk,), jnp.bool_),
         last_was_ts=jnp.zeros((bk,), jnp.bool_),
-        penult_was_ts=jnp.zeros((bk,), jnp.bool_),
+        penult_was_ts=jnp.ones((bk,), jnp.bool_),
         max_ts=jnp.full((bk,), config.timestamp_begin, jnp.int32),
     )
 

@@ -91,10 +91,29 @@ class WhisperTokenizer:
 
 
 def find_tokenizer_files(checkpoint_path: Optional[str]) -> Optional[str]:
-    """Return checkpoint_path if it contains usable tokenizer files."""
+    """Return a loadable tokenizer source for the checkpoint, or None.
+
+    Accepts both local directories (tokenizer files alongside weights)
+    and hub ids resolvable from the local HF cache — the same sources
+    ``load_pretrained`` accepts for weights, so real weights never end up
+    silently paired with the kana fallback tokenizer.
+    """
     if checkpoint_path is None:
         return None
     p = Path(checkpoint_path)
     if (p / "tokenizer.json").exists() or (p / "vocab.json").exists():
         return str(p)
+    if not p.exists():
+        # maybe a hub id in the local cache; probe without network
+        try:
+            import transformers
+            transformers.WhisperTokenizerFast.from_pretrained(
+                checkpoint_path, local_files_only=True)
+            return checkpoint_path
+        except Exception:  # noqa: BLE001 — any failure means "not usable"
+            pass
+    from whisperjav_tpu.utils.logger import logger
+    logger.warning("no tokenizer found for checkpoint %s — falling back to "
+                   "the TESTING kana tokenizer; transcription text will be "
+                   "meaningless", checkpoint_path)
     return None

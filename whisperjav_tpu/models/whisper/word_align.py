@@ -134,10 +134,15 @@ def word_timestamps(
         return []
     if head_mask is None:
         head_mask = default_head_mask(config)
-    toks = jnp.asarray(np.asarray([config.sot] + ids, np.int32)[None])
+    # pad the token sequence to a 64-multiple so cross_attention_maps
+    # compiles per LENGTH BUCKET, not per transcript length (hundreds of
+    # distinct lengths would otherwise each trigger a full decoder trace)
+    padded_len = ((len(ids) + 1 + 63) // 64) * 64
+    seq = [config.sot] + ids + [config.eot] * (padded_len - len(ids) - 1)
+    toks = jnp.asarray(np.asarray(seq, np.int32)[None])
     maps = np.asarray(cross_attention_maps(
-        params, config, toks, xa, jnp.asarray(head_mask)))[0]   # (S+1, T)
-    maps = maps[1:]   # drop SOT row; align the generated tokens only
+        params, config, toks, xa, jnp.asarray(head_mask)))[0]
+    maps = maps[1:len(ids) + 1]   # drop SOT row and eot padding rows
 
     # normalize columns over time and take log for the DTW cost
     maps = maps / (maps.sum(axis=-1, keepdims=True) + 1e-9)

@@ -56,8 +56,8 @@ def _block_specs(cross: bool) -> Dict[str, P]:
     return specs
 
 
-def param_partition_specs(params: Params) -> Dict[str, Any]:
-    """PartitionSpec tree matching the whisper param tree."""
+def param_partition_specs() -> Dict[str, Any]:
+    """PartitionSpec tree matching the (unquantized) whisper param tree."""
     return {
         "encoder": {
             "conv1_w": P(), "conv1_b": P(),
@@ -122,7 +122,7 @@ def build_sharded_train_step(
     if optimizer is None:
         optimizer = make_optimizer()
 
-    pspecs = param_partition_specs(None)
+    pspecs = param_partition_specs()
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                             is_leaf=lambda x: isinstance(x, P))
     batch_sh = NamedSharding(mesh, P("data"))

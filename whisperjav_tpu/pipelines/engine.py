@@ -179,8 +179,14 @@ class TranscriptionEngine:
             return 0.0
         return len(data) / len(zlib.compress(data))
 
-    def _row_needs_fallback(self, tokens: np.ndarray, avg_lp: float) -> bool:
+    def _row_needs_fallback(self, tokens: np.ndarray, avg_lp: float,
+                            no_speech: float = 0.0) -> bool:
         th = self.thresholds
+        # whisper rule: confident silence is NOT retried — the window will
+        # be skipped by the no-speech gate, and retrying it only invites a
+        # high-temperature hallucination that sneaks past that gate
+        if no_speech > th.no_speech_threshold:
+            return False
         if avg_lp < th.logprob_threshold:
             return True
         if self._compression_ratio(tokens) > th.compression_ratio_threshold:
@@ -219,7 +225,8 @@ class TranscriptionEngine:
             if batch.n_valid else 0.0
         for t_i, temp in enumerate(temps[1:], start=1):
             failed = [b for b in range(batch.n_valid)
-                      if self._row_needs_fallback(tokens[b], avg_lp[b])]
+                      if self._row_needs_fallback(tokens[b], avg_lp[b],
+                                                  no_speech[b])]
             if not failed:
                 break
             logger.debug("temperature fallback t=%.1f for %d/%d rows",

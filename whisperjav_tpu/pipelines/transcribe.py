@@ -107,7 +107,11 @@ class TranscribePipeline:
                 if res.success:
                     scene_audio = res.audio
                     audio = audio.copy() if enhanced_ok == 0 else audio
-                    audio[a:a + len(scene_audio)] = scene_audio[:b - a]
+                    # enhancers may not preserve length exactly; patch the
+                    # overlapping prefix only so offsets stay consistent
+                    n = min(len(scene_audio), b - a)
+                    audio[a:a + n] = scene_audio[:n]
+                    scene_audio = audio[a:b]
                     enhanced_ok += 1
             seg = segmenter.segment(scene_audio, sample_rate)
             if vad_failover_check(seg):
