@@ -115,3 +115,19 @@ def test_main_async_processing(tmp_path, tiny_loader):
     assert (out / "a2.ja.whisperjav.srt").exists()
     stats = json.loads((tmp_path / "s.json").read_text())
     assert stats["files"] == 2 and stats["failures"] == 0
+
+
+@pytest.mark.slow
+def test_main_ensemble(tmp_path, tiny_loader):
+    wav = _wav(tmp_path, "e.wav", 5.0)
+    out = tmp_path / "out"
+    rc = cli.main([str(wav), "--ensemble", "--mode", "fast",
+                   "--batch-size", "2", "--pass2-sensitivity", "aggressive",
+                   "--merge-strategy", "smart_merge",
+                   "--output-dir", str(out),
+                   "--stats-file", str(tmp_path / "es.json")])
+    assert rc == 0
+    assert (out / "e.ja.whisperjav.srt").exists()
+    assert (out / "ensemble_batch.json").exists()
+    stats = json.loads((tmp_path / "es.json").read_text())
+    assert stats["ok"] + stats["degraded"] == 1
