@@ -25,7 +25,7 @@ BASELINE_RTF = 15.0          # CUDA faster-whisper large-v2 on RTX 4090
 MODEL = "large-v2"
 BATCH = 48
 DECODE_TOKENS = 128          # representative tokens per 30 s JA window
-TIMED_BATCHES = 3
+TIMED_BATCHES = 5
 
 
 def main():

@@ -88,3 +88,42 @@ def test_analytics_flags_issues():
 def test_analytics_empty():
     report = compute_analytics([], 100.0)
     assert report["health"] == "empty"
+
+
+def test_resolve_checkpoint_chain(tmp_path):
+    """Resolution order: local path, cache, hub, mirror; last error raised."""
+    from whisperjav_tpu.utils.model_loader import resolve_checkpoint
+
+    calls = []
+
+    def fake_loader(src, **kw):
+        calls.append((src, kw))
+        if kw.get("local_files_only"):
+            raise OSError("not cached")
+        if len(calls) == 2:
+            raise OSError("network down")
+        return {"loaded": src}
+
+    # local dir short-circuits
+    d = tmp_path / "model"
+    d.mkdir()
+    out = resolve_checkpoint(str(d), loader=fake_loader)
+    assert out == {"loaded": str(d)}
+    assert len(calls) == 1
+
+    # hub id: cache miss -> hub fail -> mirror success
+    calls.clear()
+    out = resolve_checkpoint("org/whisper-x", loader=fake_loader)
+    assert out == {"loaded": "org/whisper-x"}
+    assert [kw.get("local_files_only", False) for _, kw in calls] == \
+        [True, False, False]
+
+    # all rungs fail -> last error surfaces
+    calls.clear()
+
+    def always_fail(src, **kw):
+        raise OSError("no")
+
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        resolve_checkpoint("org/nope", loader=always_fail)
