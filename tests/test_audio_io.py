@@ -64,3 +64,35 @@ def test_load_audio_resamples(tmp_path):
     write_wav(p, x, sr)
     y = load_audio(p, sample_rate=16000)
     assert abs(len(y) - 16000) <= 2
+
+
+def _build_extensible(payload, fmt_code, bits, sr=16000, ch=1):
+    import struct
+    guid_rest = bytes.fromhex("000000001000800000aa00389b71")
+    ext = struct.pack("<HI", bits, 0x4) + struct.pack("<H", fmt_code) + guid_rest
+    fmt = (struct.pack("<HHIIHH", 0xFFFE, ch, sr, sr * ch * bits // 8,
+                       ch * bits // 8, bits)
+           + struct.pack("<H", len(ext)) + ext)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def test_wave_format_extensible_float_and_pcm(tmp_path):
+    """EXTENSIBLE WAVs must decode via the SubFormat GUID: float32 bits
+    interpreted as int32 silently corrupt audio otherwise."""
+    x = (0.25 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)
+         ).astype(np.float32)
+    fp = tmp_path / "ext_f32.wav"
+    fp.write_bytes(_build_extensible(x.astype("<f4").tobytes(), 3, 32))
+    y, rate = read_wav(fp)
+    assert rate == 16000
+    np.testing.assert_allclose(y, x, atol=1e-7)
+    assert wav_info(fp).audio_format == 3
+
+    pcm = np.clip(np.round(x.astype(np.float64) * 2147483647),
+                  -2**31, 2**31 - 1).astype("<i4")
+    ip = tmp_path / "ext_i32.wav"
+    ip.write_bytes(_build_extensible(pcm.tobytes(), 1, 32))
+    y2, _ = read_wav(ip)
+    np.testing.assert_allclose(y2, x, atol=1e-6)

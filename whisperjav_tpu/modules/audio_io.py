@@ -40,6 +40,17 @@ _WAVE_FORMAT_IEEE_FLOAT = 3
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
+def _extensible_subformat(fmt_chunk: bytes) -> int:
+    """WAVE_FORMAT_EXTENSIBLE: the real format code is the first two bytes
+    of the SubFormat GUID (base fmt 16B + cbSize 2B + wValidBits 2B +
+    dwChannelMask 4B, GUID at offset 24)."""
+    if len(fmt_chunk) >= 26:
+        (code,) = struct.unpack_from("<H", fmt_chunk, 24)
+        if code in (_WAVE_FORMAT_PCM, _WAVE_FORMAT_IEEE_FLOAT):
+            return code
+    return _WAVE_FORMAT_PCM
+
+
 def _parse_chunks(data: bytes):
     """Yield (chunk_id, offset, size) for each top-level RIFF chunk."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -61,6 +72,7 @@ def wav_info(path: Union[str, Path]) -> WavInfo:
     import os
     file_size = os.path.getsize(path)
     fmt = None
+    fmt_chunk = b""
     data_size = None
     with open(path, "rb") as f:
         riff = f.read(12)
@@ -74,7 +86,8 @@ def wav_info(path: Union[str, Path]) -> WavInfo:
             (size,) = struct.unpack("<I", header[4:])
             body_start = f.tell()
             if cid == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", f.read(16))
+                fmt_chunk = f.read(min(size, 64))
+                fmt = struct.unpack_from("<HHIIHH", fmt_chunk, 0)
             elif cid == b"data":
                 # Clamp a lying/streaming header to the actual file extent.
                 data_size = min(size, file_size - body_start) if size else (
@@ -84,7 +97,7 @@ def wav_info(path: Union[str, Path]) -> WavInfo:
         raise ValueError(f"malformed WAV (missing fmt/data chunk): {path}")
     audio_format, channels, rate, _brate, block_align, bits = fmt
     if audio_format == _WAVE_FORMAT_EXTENSIBLE:
-        audio_format = _WAVE_FORMAT_PCM if bits != 32 else _WAVE_FORMAT_IEEE_FLOAT
+        audio_format = _extensible_subformat(fmt_chunk)
     frames = data_size // max(block_align, 1)
     return WavInfo(rate, channels, frames, bits, audio_format)
 
@@ -100,22 +113,24 @@ def read_wav(
     """
     data = Path(path).read_bytes()
     fmt = None
+    fmt_chunk = b""
     raw = None
     for cid, off, size in _parse_chunks(data):
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", data, off)
+            fmt_chunk = data[off:off + size]
         elif cid == b"data":
             raw = data[off:off + size]
     if fmt is None or raw is None:
         raise ValueError(f"malformed WAV (missing fmt/data chunk): {path}")
     audio_format, channels, rate, _brate, _block, bits = fmt
     if audio_format == _WAVE_FORMAT_EXTENSIBLE:
-        # True format lives in the extension's SubFormat GUID; the first two
-        # bytes of the GUID are the classic format code.
-        audio_format = _WAVE_FORMAT_PCM  # safe default; float handled by bits below
+        audio_format = _extensible_subformat(fmt_chunk)
 
-    if audio_format == _WAVE_FORMAT_IEEE_FLOAT or (bits in (32, 64) and audio_format != _WAVE_FORMAT_PCM):
-        x = np.frombuffer(raw, dtype=np.float32 if bits == 32 else np.float64)
+    if audio_format == _WAVE_FORMAT_IEEE_FLOAT:
+        if bits not in (32, 64):
+            raise ValueError(f"unsupported float WAV bits={bits}")
+        x = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8")
         x = x.astype(dtype)
     elif bits == 16:
         from whisperjav_tpu import native

@@ -53,36 +53,19 @@ class _BandSplitBackend:
         import jax.numpy as jnp
         from whisperjav_tpu.models.enhancement import bandsplit
         from whisperjav_tpu.modules.audio_io import resample
+        from whisperjav_tpu.modules.enhancement.base import chunked_crossfade
 
         sr = self.model_cfg.sample_rate
         work = resample(audio, sample_rate, sr) if sample_rate != sr else audio
         chunk = int(self.config.chunk_s * sr)
         fade = int(self.config.crossfade_s * sr)
-        hop = max(chunk - fade, 1)
-        n = len(work)
-        out = np.zeros(n, np.float32)
-        weight = np.zeros(n, np.float32)
-        ramp = np.linspace(0.0, 1.0, max(fade, 1), dtype=np.float32)
-        for start in range(0, n, hop):
-            clip = work[start:start + chunk]
-            pad = chunk - len(clip)
-            if pad:
-                clip = np.pad(clip, (0, pad))
-            den = np.asarray(bandsplit.apply(
+        if len(work) == 0:
+            return EnhancementResult(audio, sample_rate, True, self.name)
+        out = chunked_crossfade(
+            work, chunk, fade,
+            lambda clip: np.asarray(bandsplit.apply(
                 self._params, self.model_cfg, jnp.asarray(clip[None]),
-                chunk))[0]
-            if pad:
-                den = den[:chunk - pad]
-            w = np.ones(len(den), np.float32)
-            if start > 0 and len(den) >= fade:
-                w[:fade] = ramp
-            if start + chunk < n and len(den) >= fade:
-                w[-fade:] = ramp[::-1]
-            out[start:start + len(den)] += den * w
-            weight[start:start + len(den)] += w
-            if start + chunk >= n:
-                break
-        out = out / np.maximum(weight, 1e-8)
+                chunk))[0])
         if sample_rate != sr:
             out = resample(out, sr, sample_rate)
             out = out[:len(audio)]

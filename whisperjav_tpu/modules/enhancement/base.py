@@ -95,6 +95,47 @@ def get_extraction_sample_rate(backend: Optional[str]) -> int:
     return create_enhancer(backend).get_preferred_sample_rate()
 
 
+def chunked_crossfade(
+    audio: np.ndarray,
+    chunk: int,
+    fade: int,
+    apply_fn,
+) -> np.ndarray:
+    """Process long audio in overlapping chunks with linear crossfade.
+
+    ``apply_fn(clip)`` maps a fixed-length chunk (zero-padded at the tail)
+    to processed samples of the same length. Shared by every chunked
+    enhancement backend so the zero-fade guard and weight normalization
+    stay uniform.
+    """
+    n = len(audio)
+    if n == 0:
+        return audio
+    fade = max(min(fade, chunk - 1), 0)
+    hop = max(chunk - fade, 1)
+    out = np.zeros(n, np.float32)
+    weight = np.zeros(n, np.float32)
+    ramp = np.linspace(0.0, 1.0, max(fade, 1), dtype=np.float32)
+    for start in range(0, n, hop):
+        clip = audio[start:start + chunk]
+        pad = chunk - len(clip)
+        if pad:
+            clip = np.pad(clip, (0, pad))
+        den = np.asarray(apply_fn(clip), np.float32)
+        if pad:
+            den = den[:chunk - pad]
+        w = np.ones(len(den), np.float32)
+        if fade and start > 0 and len(den) >= fade:
+            w[:fade] = ramp
+        if fade and start + chunk < n and len(den) >= fade:
+            w[-fade:] = ramp[::-1]
+        out[start:start + len(den)] += den * w
+        weight[start:start + len(den)] += w
+        if start + chunk >= n:
+            break
+    return out / np.maximum(weight, 1e-8)
+
+
 def enhance_scenes(
     enhancer: SpeechEnhancer,
     scene_audios: Sequence[np.ndarray],

@@ -57,34 +57,17 @@ class ZipJaxEnhancer:
 
         import jax.numpy as jnp
         from whisperjav_tpu.models.enhancement import zipnet
+        from whisperjav_tpu.modules.enhancement.base import chunked_crossfade
 
         chunk = int(self.config.chunk_s * SR)
         fade = int(self.config.crossfade_s * SR)
-        hop = chunk - fade
-        n = len(audio)
-        if n == 0:
+        if len(audio) == 0:
             return EnhancementResult(audio, sample_rate, True, self.name)
-
-        out = np.zeros(n, np.float32)
-        weight = np.zeros(n, np.float32)
-        ramp = np.linspace(0.0, 1.0, fade, dtype=np.float32)
-        for start in range(0, n, hop):
-            clip = audio[start:start + chunk]
-            pad = chunk - len(clip)
-            if pad:
-                clip = np.pad(clip, (0, pad))
-            den = np.asarray(zipnet.denoise(self._params,
-                                            jnp.asarray(clip[None]), chunk))[0]
-            den = den[:chunk - pad] if pad else den
-            w = np.ones(len(den), np.float32)
-            if start > 0 and len(den) >= fade:
-                w[:fade] = ramp
-            if start + chunk < n and len(den) >= fade:
-                w[-fade:] = ramp[::-1]
-            out[start:start + len(den)] += den * w
-            weight[start:start + len(den)] += w
-            if start + chunk >= n:
-                break
-        out = out / np.maximum(weight, 1e-8)
+        out = chunked_crossfade(
+            audio, chunk, fade,
+            lambda clip: np.asarray(zipnet.denoise(
+                self._params, jnp.asarray(clip[None]), chunk))[0])
         return EnhancementResult(out, sample_rate, True, self.name,
-                                 {"chunks": int(np.ceil(n / hop))})
+                                 {"chunks": int(np.ceil(len(audio)
+                                                        / max(chunk - fade,
+                                                              1)))})

@@ -117,6 +117,9 @@ def discover(inputs: Sequence[Union[str, Path]], recursive: bool = False) -> Lis
         s = str(item)
         p = Path(s)
         if p.is_file():
+            if p.suffix.lower() not in MEDIA_EXTENSIONS:
+                logger.warning("skipping %s: unrecognized media extension "
+                               "%r", p.name, p.suffix)
             add(p)
         elif p.is_dir():
             pattern = "**/*" if recursive else "*"

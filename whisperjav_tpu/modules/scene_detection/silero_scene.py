@@ -44,30 +44,45 @@ class SileroSceneDetector(EnergySceneDetector):
         )
 
     def detect(self, audio: np.ndarray, sample_rate: int) -> SceneDetectionResult:
+        """Pass 1: energy CHAPTER split (long-silence boundaries only);
+        pass 2: silero-jax VAD groups chunk long chapters to scene size.
+
+        Note: refinement must run on the coarse chapters — the inherited
+        detect() already chunks everything to ≤ max_scene_duration_s, which
+        would leave the VAD with nothing to do."""
+        from whisperjav_tpu.modules.scene_detection.energy import (
+            _active_regions, frame_energies_db,
+        )
         cfg = self.config
         total = len(audio) / sample_rate
-        # pass 1: energy chapters (inherited semantics)
-        base = super().detect(audio, sample_rate)
-        chapters = base.stats.get("chapters", 0)
+        energies = frame_energies_db(audio, sample_rate, cfg.frame_ms)
+        frame_s = cfg.frame_ms / 1000.0
+        chapters = _active_regions(
+            energies >= cfg.chapter_energy_db, frame_s,
+            cfg.chapter_max_silence_s, cfg.min_scene_duration_s,
+            cfg.chapter_max_duration_s)
+        if not chapters and total > 0:
+            chapters = [(0.0, total)]
 
-        # pass 2 replacement: silero VAD groups inside long chapters
+        refined = 0
         scenes: List[Scene] = []
-        for sc in base.scenes:
-            if sc.duration <= cfg.max_scene_duration_s:
-                scenes.append(Scene(len(scenes), sc.start, sc.end))
+        for ch_start, ch_end in chapters:
+            if ch_end - ch_start <= cfg.max_scene_duration_s:
+                scenes.append(Scene(len(scenes), ch_start, ch_end))
                 continue
-            a = int(sc.start * sample_rate)
-            b = int(sc.end * sample_rate)
+            a = int(ch_start * sample_rate)
+            b = int(ch_end * sample_rate)
             seg = self._vad.segment(audio[a:b], sample_rate)
             if not seg.groups:
-                scenes.append(Scene(len(scenes), sc.start, sc.end))
+                scenes.append(Scene(len(scenes), ch_start, ch_end))
                 continue
+            refined += 1
             for g in seg.groups:
-                scenes.append(Scene(len(scenes), sc.start + g.start,
-                                    sc.start + g.end))
+                scenes.append(Scene(len(scenes), ch_start + g.start,
+                                    ch_start + g.end))
         for i, sc in enumerate(scenes):
             sc.index = i
         return SceneDetectionResult(
             scenes, total, self.name,
-            {"chapters": chapters, "scenes": len(scenes),
-             "vad_refined": True})
+            {"chapters": len(chapters), "scenes": len(scenes),
+             "vad_refined_chapters": refined})

@@ -70,9 +70,10 @@ class WhisperVadSegmenter:
         engine = self._ensure_engine()
         win = int(cfg.window_s * sample_rate)
         hop = int(cfg.hop_s * sample_rate)
-        if len(audio) < hop:
+        if len(audio) == 0:
             return np.zeros((0,), np.float32)
-        starts = list(range(0, max(len(audio) - hop, 1), hop))
+        # one window per hop interval, covering the final partial hop too
+        starts = list(range(0, len(audio), hop))
         probs = np.zeros(len(starts), np.float32)
         bs = cfg.batch_size
         for i in range(0, len(starts), bs):

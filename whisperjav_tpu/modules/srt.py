@@ -93,7 +93,7 @@ def compose_srt(subs: Sequence[Subtitle], renumber: bool = True) -> str:
         out.append(
             f"{idx}\n{format_timestamp(sub.start)} --> {format_timestamp(sub.end)}\n{sub.text}\n"
         )
-    return "\n".join(out) + ("" if not out else "")
+    return "\n".join(out)
 
 
 def save_srt(path: Union[str, Path], subs: Sequence[Subtitle]) -> None:

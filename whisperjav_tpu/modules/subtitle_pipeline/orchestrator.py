@@ -47,20 +47,21 @@ class DecoupledSubtitlePipeline:
         cleaner,
         aligner,
         max_group_s: float = 6.0,
-        step_down: StepDownConfig = StepDownConfig(),
-        hardening: HardeningConfig = HardeningConfig(),
+        step_down: Optional[StepDownConfig] = None,
+        hardening: Optional[HardeningConfig] = None,
         regroup_mode: RegroupMode = RegroupMode.STANDARD,
-        regroup_config: RegroupConfig = RegroupConfig(),
+        regroup_config: Optional[RegroupConfig] = None,
     ):
         self.framer = framer
         self.generator = generator
         self.cleaner = cleaner
         self.aligner = aligner
         self.max_group_s = max_group_s
-        self.step_down = step_down
-        self.hardening = hardening
+        # fresh default instances per pipeline (no shared mutable defaults)
+        self.step_down = step_down or StepDownConfig()
+        self.hardening = hardening or HardeningConfig()
         self.regroup_mode = regroup_mode
-        self.regroup_config = regroup_config
+        self.regroup_config = regroup_config or RegroupConfig()
 
     # ------------------------------------------------------------------
     def process_scenes(
@@ -89,18 +90,32 @@ class DecoupledSubtitlePipeline:
         words, framing = self._run_once(audio, sample_rate,
                                         self.max_group_s, diag)
 
-        # step-down retry: collapsed scene → tighter framing
-        if (self.step_down.enabled and diag.collapsed_frames > 0
-                and not words):
+        # step-down retry: any collapsed frame (or an empty scene) re-runs
+        # at tighter framing; the retry result wins when it collapses less
+        # (reference behavior: re-frame at fallback_max_group_s and retry)
+        if (self.step_down.enabled
+                and (diag.collapsed_frames > 0 or not words)):
             for _ in range(self.step_down.max_retries):
                 diag.step_down_retries += 1
-                logger.info("scene %d: step-down retry at %.1fs groups",
-                            scene_index,
-                            self.step_down.fallback_max_group_s)
-                words, framing = self._run_once(
+                logger.info("scene %d: step-down retry at %.1fs groups "
+                            "(%d collapsed frames)", scene_index,
+                            self.step_down.fallback_max_group_s,
+                            diag.collapsed_frames)
+                retry_diag = SceneDiagnostics(scene_index=scene_index)
+                retry_words, retry_framing = self._run_once(
                     audio, sample_rate,
-                    self.step_down.fallback_max_group_s, diag)
-                if words:
+                    self.step_down.fallback_max_group_s, retry_diag)
+                better = (retry_words and (not words
+                          or retry_diag.collapsed_frames
+                          < diag.collapsed_frames))
+                if better:
+                    words, framing = retry_words, retry_framing
+                    retry_diag.step_down_retries = diag.step_down_retries
+                    retry_diag.hardening_actions = diag.hardening_actions
+                    diag = retry_diag
+                    if diag.collapsed_frames == 0:
+                        break
+                else:
                     break
 
         scene_duration = len(audio) / sample_rate

@@ -151,6 +151,25 @@ class TranscribePipeline:
         results = self.engine.transcribe_windows(windows, seed=seed)
         t_asr = time.time() - t0
 
+        subtitles = self.assemble_subtitles(results)
+        stats.update({
+            "segmentation_s": round(t_seg, 3),
+            "asr_s": round(t_asr, 3),
+            "audio_s": round(len(audio) / sample_rate, 3),
+            "rtf_x": round((len(audio) / sample_rate) / max(t_asr, 1e-9), 2),
+            "raw_subtitles": len(subtitles),
+        })
+        return subtitles, stats
+
+    # ------------------------------------------------------------------
+    def assemble_subtitles(self, results) -> List[Subtitle]:
+        """Engine results → globally-timed subtitles.
+
+        The SINGLE place that unpacks packed windows, reconciles chunked
+        keep-ranges, hardens timestamps (drop segments starting past the
+        real audio, clamp ends — reference: subtitle_pipeline/
+        hardening.py:45), records per-window diagnostics, and stitches.
+        Both the sync and async file paths call this."""
         from whisperjav_tpu.parallel.batching import unpack_segments
         flat_results = []
         for window, segments in results:
@@ -159,9 +178,6 @@ class TranscribePipeline:
         scene_subs = []
         window_diag = []
         for window, segments in flat_results:
-            # defensive timestamp hardening: drop segments that start past
-            # the real audio, clamp ends into the window (reference does the
-            # analogous clamping in subtitle_pipeline/hardening.py:45)
             if window.keep_range is not None:
                 lo, hi = window.keep_range
                 segments = [s for s in segments
@@ -182,15 +198,7 @@ class TranscribePipeline:
                 "chars": sum(len(s.text) for s in segments),
             })
         self._last_window_diagnostics = window_diag
-        subtitles = stitch(scene_subs)
-        stats.update({
-            "segmentation_s": round(t_seg, 3),
-            "asr_s": round(t_asr, 3),
-            "audio_s": round(len(audio) / sample_rate, 3),
-            "rtf_x": round((len(audio) / sample_rate) / max(t_asr, 1e-9), 2),
-            "raw_subtitles": len(subtitles),
-        })
-        return subtitles, stats
+        return stitch(scene_subs)
 
     # ------------------------------------------------------------------
     def process(self, media: MediaInfo, output_dir: Path,

@@ -72,6 +72,23 @@ class TranslationProject:
 
 _LINE_RE = re.compile(r"^\s*(\d+)\s*[:：.)）]\s*(.*)$")
 
+_LANG_TAGS = {
+    "english": "en", "japanese": "ja", "chinese": "zh", "korean": "ko",
+    "german": "de", "french": "fr", "spanish": "es", "portuguese": "pt",
+    "italian": "it", "russian": "ru", "indonesian": "id", "thai": "th",
+    "vietnamese": "vi", "arabic": "ar", "hindi": "hi", "dutch": "nl",
+    "polish": "pl", "turkish": "tr",
+}
+
+
+def _iso_tag(language_name: str) -> str:
+    """Language NAME → ISO tag for output filenames; 2-letter inputs pass
+    through, unknown names fall back to their first two letters."""
+    name = (language_name or "en").strip().lower()
+    if len(name) == 2:
+        return name
+    return _LANG_TAGS.get(name, name[:2])
+
 
 def parse_numbered_response(text: str) -> Dict[int, str]:
     out: Dict[int, str] = {}
@@ -177,7 +194,7 @@ def translate_srt(
                     project.translated.get(str(s.index), s.text))
            for s in subs]
     if output_path is None:
-        lang_tag = target_language[:2].lower()
+        lang_tag = _iso_tag(target_language)
         output_path = srt_path.with_name(
             srt_path.stem.rsplit(".", 1)[0] + f".{lang_tag}.srt"
             if srt_path.stem.endswith(".whisperjav")

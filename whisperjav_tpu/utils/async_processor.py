@@ -94,25 +94,12 @@ class AsyncPipelineManager:
     # ------------------------------------------------------------------
     def _decode_and_write(self, media: MediaInfo, windows, stats,
                           output_dir: Path):
-        import json
-        from whisperjav_tpu.modules.srt import Subtitle, save_srt, stitch
+        from whisperjav_tpu.modules.srt import save_srt
 
-        from whisperjav_tpu.parallel.batching import unpack_segments
         results = self.pipeline.engine.transcribe_windows(windows)
-        flat = []
-        for window, segments in results:
-            flat.extend(unpack_segments(window, segments))
-        scene_subs = []
-        for window, segments in flat:
-            if window.keep_range is not None:
-                lo, hi = window.keep_range
-                segments = [s for s in segments
-                            if lo <= (s.start + s.end) / 2.0 < hi]
-            subs = [Subtitle(0, s.start, min(s.end, window.duration), s.text)
-                    for s in segments
-                    if s.text.strip() and s.start < window.duration]
-            scene_subs.append((subs, window.abs_start))
-        subtitles = stitch(scene_subs)
+        # shared assembly path: packing/chunking reconciliation and window
+        # diagnostics stay identical to the sync pipeline
+        subtitles = self.pipeline.assemble_subtitles(results)
         if self.pipeline.postprocessor is not None:
             subtitles, _ = self.pipeline.postprocessor.process(
                 subtitles, language=self.pipeline.language)

@@ -58,15 +58,61 @@ def resolve_checkpoint(
         logger.warning("hub download failed for %s (%s); trying mirror %s",
                        name_or_path, e, mirror)
 
-    old = os.environ.get("HF_ENDPOINT")
-    os.environ["HF_ENDPOINT"] = mirror
-    try:
-        return loader(name_or_path)
-    except Exception as e:  # noqa: BLE001
-        last_err = e
-    finally:
-        if old is None:
-            os.environ.pop("HF_ENDPOINT", None)
-        else:
-            os.environ["HF_ENDPOINT"] = old
+    with _mirror_endpoint(mirror):
+        try:
+            return loader(name_or_path)
+        except Exception as e:  # noqa: BLE001
+            last_err = e
     raise last_err
+
+
+class _mirror_endpoint:
+    """Temporarily point huggingface_hub at a mirror.
+
+    HF_ENDPOINT alone is useless at this point — huggingface_hub freezes
+    its ENDPOINT constant at import time (which already happened when the
+    earlier rungs ran the loader). The constant and the URL template are
+    patched directly and restored afterwards; this is the runtime-scoped
+    version of the monkeypatching the reference ships permanently.
+    """
+
+    def __init__(self, mirror: str):
+        self.mirror = mirror.rstrip("/")
+        self._saved = {}
+
+    def __enter__(self):
+        os.environ["HF_ENDPOINT"] = self.mirror
+        try:
+            import huggingface_hub.constants as c
+            self._saved["ENDPOINT"] = getattr(c, "ENDPOINT", None)
+            self._saved["TEMPLATE"] = getattr(
+                c, "HUGGINGFACE_CO_URL_TEMPLATE", None)
+            c.ENDPOINT = self.mirror
+            if self._saved["TEMPLATE"]:
+                c.HUGGINGFACE_CO_URL_TEMPLATE = (
+                    self.mirror + "/{repo_id}/resolve/{revision}/{filename}")
+            # file_download caches the template as a default arg in some
+            # versions; patch its module global too when present
+            import huggingface_hub.file_download as fd
+            if hasattr(fd, "HUGGINGFACE_CO_URL_TEMPLATE"):
+                self._saved["FD_TEMPLATE"] = fd.HUGGINGFACE_CO_URL_TEMPLATE
+                fd.HUGGINGFACE_CO_URL_TEMPLATE = (
+                    self.mirror + "/{repo_id}/resolve/{revision}/{filename}")
+        except ImportError:
+            pass
+        return self
+
+    def __exit__(self, *exc):
+        os.environ.pop("HF_ENDPOINT", None)
+        try:
+            import huggingface_hub.constants as c
+            if self._saved.get("ENDPOINT") is not None:
+                c.ENDPOINT = self._saved["ENDPOINT"]
+            if self._saved.get("TEMPLATE") is not None:
+                c.HUGGINGFACE_CO_URL_TEMPLATE = self._saved["TEMPLATE"]
+            if "FD_TEMPLATE" in self._saved:
+                import huggingface_hub.file_download as fd
+                fd.HUGGINGFACE_CO_URL_TEMPLATE = self._saved["FD_TEMPLATE"]
+        except ImportError:
+            pass
+        return False

@@ -82,22 +82,25 @@ class ProgressManager:
     @contextlib.contextmanager
     def suppress_external(self) -> Iterator[None]:
         """Silence third-party tqdm bars inside the block (reference:
-        external-library suppression context)."""
+        external-library suppression context). Only the tqdm import is
+        guarded — an ImportError raised by USER code inside the block must
+        propagate, not trip a second yield."""
         try:
             import tqdm
-            orig = tqdm.tqdm.__init__
-
-            def muted(self_, *a, **k):
-                k["disable"] = True
-                orig(self_, *a, **k)
-
-            tqdm.tqdm.__init__ = muted
-            try:
-                yield
-            finally:
-                tqdm.tqdm.__init__ = orig
         except ImportError:
             yield
+            return
+        orig = tqdm.tqdm.__init__
+
+        def muted(self_, *a, **k):
+            k["disable"] = True
+            orig(self_, *a, **k)
+
+        tqdm.tqdm.__init__ = muted
+        try:
+            yield
+        finally:
+            tqdm.tqdm.__init__ = orig
 
 
 class NullProgress:

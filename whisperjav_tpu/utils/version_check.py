@@ -21,16 +21,30 @@ RELEASES_URL = ("https://api.github.com/repos/"
 
 
 def parse_version(v: str):
-    return tuple(int(x) for x in v.strip().lstrip("v").split(".")[:3]
-                 if x.isdigit())
+    """'v1.3.0rc1' → (1, 3, 0): leading digits of each dot component.
+
+    Pre-release suffixes contribute their numeric prefix (never dropped —
+    dropping made 'v1.3.0rc1' parse as (1, 3) and misorder against 1.2.x).
+    """
+    import re
+    parts = []
+    for comp in v.strip().lstrip("v").split(".")[:3]:
+        m = re.match(r"(\d+)", comp)
+        if m is None:
+            break
+        parts.append(int(m.group(1)))
+    return tuple(parts)
 
 
 def check_latest_version(timeout: float = 5.0) -> Optional[Dict]:
-    """Returns {"latest": str, "newer": bool} or None when offline."""
+    """Returns {"latest": str, "newer": bool} or None when offline or the
+    release tag is unparseable."""
     try:
         with urllib.request.urlopen(RELEASES_URL, timeout=timeout) as r:
             data = json.loads(r.read())
         latest = data.get("tag_name", "")
+        if not parse_version(latest):
+            return None
         return {
             "latest": latest,
             "newer": parse_version(latest) > parse_version(__version__),
