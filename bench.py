@@ -57,14 +57,15 @@ def main():
         (base + 0.05 * rng.standard_normal(N_SAMPLES)).astype(np.float32)
         for _ in range(BATCH)])
 
-    # compile + warmup
+    # compile + warmup (materialized: block_until_ready does NOT reliably
+    # block through the axon tunnel — CLAUDE.md timing rule)
     res = engine.decode_batch(audio, 0.0, 0)
-    jax.block_until_ready(res.tokens)
+    np.asarray(res.tokens)
 
     t0 = time.time()
     for i in range(TIMED_BATCHES):
         res = engine.decode_batch(audio, 0.0, i + 1)
-    jax.block_until_ready(res.tokens)
+        np.asarray(res.tokens)  # force per-iteration materialization
     wall = time.time() - t0
 
     audio_seconds = TIMED_BATCHES * BATCH * 30.0
