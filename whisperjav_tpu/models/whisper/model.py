@@ -334,7 +334,7 @@ def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
     return x, cache_k, cache_v
 
 
-def decode_step(
+def decode_hidden(
     params: Params,
     config: WhisperConfig,
     tokens: jax.Array,       # (B, q_len) token ids at positions [pos, pos+q)
@@ -342,9 +342,11 @@ def decode_step(
     cache: KVCache,          # (L, B, T_max, H, hd)
     cross: CrossKV,
 ) -> Tuple[jax.Array, KVCache]:
-    """Run the decoder on a chunk (prefill or single step).
+    """Decoder blocks + final LN, WITHOUT the lm head projection.
 
-    Returns (logits (B, q_len, vocab) float32, updated cache).
+    Returns (hidden (B, q_len, d), updated cache). Used by decode_step
+    (which adds the vocab projection) and by heads that consume decoder
+    states directly (models/vad/whisperseg.py frame head).
     """
     dec = params["decoder"]
     b, q_len = tokens.shape
@@ -371,6 +373,23 @@ def decode_step(
         body, x, (dec["blocks"], cross.k, cross.v, cross.k_scale,
                   cross.v_scale, cache.k, cache.v))
     x = layer_norm(x, dec["ln_s"], dec["ln_b"])
+    return x, KVCache(new_k, new_v)
+
+
+def decode_step(
+    params: Params,
+    config: WhisperConfig,
+    tokens: jax.Array,
+    pos,
+    cache: KVCache,
+    cross: CrossKV,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the decoder on a chunk (prefill or single step).
+
+    Returns (logits (B, q_len, vocab) float32, updated cache).
+    """
+    dec = params["decoder"]
+    x, cache = decode_hidden(params, config, tokens, pos, cache, cross)
     if "lm_head_q" in dec:          # int8 weight path (quant.py); f32 out
         lm = dec["lm_head_q"]
         logits = jnp.dot(x, lm["q"].astype(x.dtype),
@@ -379,7 +398,7 @@ def decode_step(
     else:
         logits = jnp.dot(x, dec["tok_emb"].T.astype(x.dtype),
                          preferred_element_type=jnp.float32)
-    return logits, KVCache(new_k, new_v)
+    return logits, cache
 
 
 def decode_train(params: Params, config: WhisperConfig,

@@ -4,9 +4,13 @@ Post-chain parity with the reference's WhisperSeg backend (reference:
 whisperjav/modules/speech_segmentation/backends/whisperseg.py:57-130 —
 30 s windows → 1500 frames @20 ms, sigmoid probs → dual-threshold
 hysteresis with release = threshold − 0.15, min-duration filters,
-padding, grouping). Without trained weights it falls back to the same
-calibrated energy probability source as the silero-jax backend, at 20 ms
-resolution.
+padding, grouping). The model (models/vad/whisperseg.py) matches the
+published checkpoint's architecture — Whisper-base encoder + 2-layer
+decoder + (1, d) frame head — and ports its weights via
+params_from_hf_state_dict (torch-oracle parity in
+tests/test_whisperseg_parity.py). Without trained weights it falls back
+to the same calibrated energy probability source as the silero-jax
+backend, at 20 ms resolution.
 """
 
 from __future__ import annotations
