@@ -8,7 +8,9 @@ sample padding 11200 pre / 20800 post @16 kHz with overlap prevention,
 max-speech force-split, gap/duration grouping).
 
 Probability source is pluggable:
-- a trained Silero-class JAX model (models/vad/silero_like.py) when a
+- the checkpoint-faithful silero-vad v5/v6 model (models/vad/silero.py,
+  detected by its "stft_basis" leaf; 32 ms chunk resolution) or the
+  trainable silero-class model (models/vad/silero_like.py) when a
   weights path is given;
 - otherwise a calibrated energy→probability sigmoid, so threshold presets
   (0.41/0.28/0.18) drive identical downstream machinery.
@@ -59,10 +61,20 @@ class SileroJaxSegmenter:
     def __init__(self, **kwargs):
         self.config = SileroJaxConfig(**kwargs)
         self._params = None
+        self._model = None
         if self.config.weights:
-            from whisperjav_tpu.models.vad import silero_like
-            self._params = silero_like.load_params(self.config.weights)
-            logger.info("silero-jax: loaded weights from %s",
+            import numpy as _np
+            tree = _np.load(self.config.weights)
+            if "stft_basis" in tree.files:
+                # published silero-vad v5/v6 tree (models/vad/silero.py)
+                from whisperjav_tpu.models.vad import silero as model
+                self.config.frame_s = model.FRAME_S       # 32 ms chunks
+            else:
+                from whisperjav_tpu.models.vad import silero_like as model
+            self._model = model
+            self._params = model.load_params(self.config.weights)
+            logger.info("silero-jax: loaded %s weights from %s",
+                        model.__name__.rsplit(".", 1)[-1],
                         self.config.weights)
 
     # ------------------------------------------------------------------
@@ -70,12 +82,11 @@ class SileroJaxSegmenter:
         cfg = self.config
         if self._params is not None:
             import jax.numpy as jnp
-            from whisperjav_tpu.models.vad import silero_like
             hop = int(sample_rate * cfg.frame_s)
             usable = (len(audio) // hop) * hop
             if usable == 0:
                 return np.zeros((0,), np.float32)
-            probs = silero_like.apply(self._params,
+            probs = self._model.apply(self._params,
                                       jnp.asarray(audio[None, :usable]))
             return np.asarray(probs)[0]
         # calibrated energy fallback: sigmoid centered so the preset
