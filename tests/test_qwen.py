@@ -26,7 +26,9 @@ def qwen_model():
 def test_audio_tower_shapes(qwen_model):
     mel = jnp.zeros((2, 128, 400), jnp.float32)
     emb = encode_audio(qwen_model, CFG, mel)
-    assert emb.shape == (2, 100, CFG.d_model)   # /4 downsampling
+    # AuT: 200-frame chunks → 25 tokens each (×8 downsampling)
+    assert emb.shape == (2, CFG.audio_tokens_for(400), CFG.d_model)
+    assert emb.shape[1] == 50
     assert bool(jnp.isfinite(emb).all())
 
 
@@ -48,7 +50,7 @@ def test_lm_incremental_matches_full(qwen_model):
 def test_generate_structure(qwen_model):
     mel = jnp.asarray(np.random.default_rng(1).standard_normal(
         (2, 128, 400)).astype(np.float32))
-    res = generate(qwen_model, CFG, mel, max_new=12, audio_len=100,
+    res = generate(qwen_model, CFG, mel, max_new=12, audio_len=50,
                    repetition_penalty=1.3)
     toks = np.asarray(res.tokens)
     assert toks.shape == (2, 12)

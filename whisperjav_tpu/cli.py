@@ -240,7 +240,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         decoupled = DecoupledSubtitlePipeline(
             framer=VadGroupedFramer(vad_backend=cfg.mode.vad_backend),
             generator=QwenGenerator(model_size=model_size,
-                                    batch_size=cfg.batch_size),
+                                    batch_size=cfg.batch_size,
+                                    checkpoint=args.checkpoint),
             cleaner=AssemblyTextCleaner(),
             aligner=QwenAlignerAdapter(),
             max_group_s=cfg.sensitivity.max_group_duration_s,

@@ -1,18 +1,30 @@
-"""Qwen3-ASR-class model: audio encoder + decoder-only LM in pure JAX.
+"""Qwen3-ASR model: AuT audio encoder + Qwen3 decoder LM in pure JAX.
 
 TPU-native counterpart of the reference's Qwen3-ASR integration
 (reference: whisperjav/modules/qwen_asr.py:154-1752 wraps the qwen-asr
-package / HF transformers; ADR-003 documents the 0.6B/1.7B family).
-Architecture implemented fresh in the modern decoder-LM idiom:
+package / HF transformers; ADR-003 documents the family). The
+architecture matches the published checkpoints so HF weights port via
+:mod:`whisperjav_tpu.models.qwen.convert`:
 
-- audio tower: mel (128 bins) → two stride-2 convs (→40 ms frames) →
-  pre-LN transformer stack → linear adapter into the LM width;
-- language model: RMSNorm, rotary position embeddings, grouped-query
-  attention (n_kv_heads < n_heads), SwiGLU MLP — scan-stacked layers
+- **audio tower (AuT)**: 128-mel chunks of ``2*n_window`` (200) frames →
+  three 3×3 stride-2 Conv2d over (freq, time) → linear ``conv_out`` into
+  the tower width (25 tokens per 2 s chunk, positions reset per chunk) →
+  pre-LN transformer with **block-windowed bidirectional attention**
+  (windows of ``n_window_infer/(2·n_window)`` chunks = 50 tokens) →
+  ``ln_post`` → ``proj1``/gelu/``proj2`` adapter into the LM width —
+  the Qwen3-Omni AuT encoder semantics (oracle:
+  transformers Qwen3OmniMoeAudioEncoder, tests/test_qwen_parity.py);
+- **language model**: Qwen3 — RMSNorm, rotary embeddings, grouped-query
+  attention with per-head **q/k RMSNorm** and an explicit ``head_dim``
+  decoupled from ``d_model/n_heads``, SwiGLU MLP — scan-stacked layers
   like the Whisper core, fixed-shape KV cache;
 - decoding: audio embeddings form the prompt prefix; greedy/sampled
   generation with repetition penalty and a dynamic
   max-tokens-per-audio-second budget (reference: qwen_asr.py:414).
+
+Fixed-shape contract: mel time length must be a multiple of
+``2 * n_window_infer`` mel frames (= 400, i.e. 4 s) so attention windows
+tile exactly; callers pad audio up (see ``mel_frames_for``).
 """
 
 from __future__ import annotations
@@ -31,20 +43,25 @@ Params = Dict
 @dataclass(frozen=True)
 class QwenASRConfig:
     name: str = "qwen3-asr-test"
-    # language model
+    # language model (Qwen3)
     vocab_size: int = 4096
     d_model: int = 256
     n_layers: int = 4
     n_heads: int = 8
     n_kv_heads: int = 4
     d_ff: int = 1024
+    lm_head_dim: int = 0          # 0 → d_model // n_heads
     rope_theta: float = 1_000_000.0
     rms_eps: float = 1e-6
-    # audio tower
+    # audio tower (AuT)
     n_mels: int = 128
     d_audio: int = 256
     audio_layers: int = 4
     audio_heads: int = 8
+    audio_ffn: int = 1024
+    audio_downsample_hidden: int = 32
+    n_window: int = 100           # mel frames per chunk = 2*n_window
+    n_window_infer: int = 400     # mel frames per attention window
     # special ids
     eos_id: int = 2
     bos_id: int = 1
@@ -56,19 +73,54 @@ class QwenASRConfig:
 
     @property
     def head_dim(self) -> int:
-        return self.d_model // self.n_heads
+        return self.lm_head_dim or self.d_model // self.n_heads
+
+    @property
+    def chunk_frames(self) -> int:
+        """Mel frames per AuT chunk (2 s @ 10 ms hop)."""
+        return 2 * self.n_window
+
+    @property
+    def chunk_tokens(self) -> int:
+        """Audio tokens per chunk after the ×8 conv downsampling."""
+        t = self.chunk_frames
+        for _ in range(3):
+            t = (t + 1) // 2
+        return t
+
+    @property
+    def window_tokens(self) -> int:
+        """Tokens per attention window (block-diagonal)."""
+        return self.chunk_tokens * (self.n_window_infer // self.chunk_frames)
+
+    @property
+    def mel_multiple(self) -> int:
+        """Mel length must be a multiple of this (window tiling)."""
+        return self.chunk_frames * (self.n_window_infer // self.chunk_frames)
+
+    def audio_tokens_for(self, n_mel_frames: int) -> int:
+        assert n_mel_frames % self.mel_multiple == 0, (
+            f"mel length {n_mel_frames} not a multiple of "
+            f"{self.mel_multiple}")
+        return (n_mel_frames // self.chunk_frames) * self.chunk_tokens
 
 
-# 1.7B-class configuration (approximate published architecture scale)
+# Published architecture shapes (Qwen3-ASR-1.7B = Qwen3-1.7B LM + AuT;
+# the 0.6B row is the ForcedAligner-class LM scale). n_window=50
+# (100-frame chunks → 13 tokens) is the chunking the HF reference module
+# executes self-consistently (see tests/test_qwen_parity.py note);
+# convert.config_from_hf overrides all of this from a real checkpoint.
 QWEN_SIZES = {
     "qwen3-asr-0.6b": QwenASRConfig(
         name="qwen3-asr-0.6b", vocab_size=151_936, d_model=1024,
-        n_layers=24, n_heads=16, n_kv_heads=8, d_ff=3072,
-        d_audio=768, audio_layers=12, audio_heads=12),
+        n_layers=28, n_heads=16, n_kv_heads=8, d_ff=3072, lm_head_dim=128,
+        d_audio=1280, audio_layers=32, audio_heads=20, audio_ffn=5120,
+        audio_downsample_hidden=480, n_window=50),
     "qwen3-asr-1.7b": QwenASRConfig(
         name="qwen3-asr-1.7b", vocab_size=151_936, d_model=2048,
-        n_layers=28, n_heads=16, n_kv_heads=8, d_ff=6144,
-        d_audio=1024, audio_layers=18, audio_heads=16),
+        n_layers=28, n_heads=16, n_kv_heads=8, d_ff=6144, lm_head_dim=128,
+        d_audio=1280, audio_layers=32, audio_heads=20, audio_ffn=5120,
+        audio_downsample_hidden=480, n_window=50),
     "qwen3-asr-test": QwenASRConfig(),
 }
 
@@ -84,8 +136,18 @@ def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
             * scale.astype(jnp.float32)).astype(x.dtype)
 
 
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               eps: float = 1e-5) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
+
+
 def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
-    """x (B, T, H, hd); positions (T,) or (B, T)."""
+    """x (B, T, H, hd); positions (T,) or (B, T). GPT-NeoX half-split."""
     hd = x.shape[-1]
     half = hd // 2
     freqs = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
@@ -101,9 +163,20 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
                             x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
 
 
-def _dense(x, w):
-    return jnp.dot(x, w.astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+def _dense(x, w, b: Optional[jax.Array] = None):
+    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def sinusoid_positions(length: int, channels: int) -> np.ndarray:
+    """Whisper-style sinusoids (the AuT positional embedding formula)."""
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)],
+                          axis=1).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -112,6 +185,7 @@ def _dense(x, w):
 
 def _init_lm_blocks(key, cfg: QwenASRConfig, dtype):
     L, d, hd = cfg.n_layers, cfg.d_model, cfg.head_dim
+    qd = cfg.n_heads * hd
     kvd = cfg.n_kv_heads * hd
     ks = jax.random.split(key, 8)
     s = d ** -0.5
@@ -121,10 +195,12 @@ def _init_lm_blocks(key, cfg: QwenASRConfig, dtype):
 
     return {
         "ln1": jnp.ones((L, d), dtype),
-        "wq": w(ks[0], (L, d, d)),
+        "wq": w(ks[0], (L, d, qd)),
         "wk": w(ks[1], (L, d, kvd)),
         "wv": w(ks[2], (L, d, kvd)),
-        "wo": w(ks[3], (L, d, d)),
+        "wo": w(ks[3], (L, qd, d)),
+        "q_norm": jnp.ones((L, hd), dtype),
+        "k_norm": jnp.ones((L, hd), dtype),
         "ln2": jnp.ones((L, d), dtype),
         "w_gate": w(ks[4], (L, d, cfg.d_ff)),
         "w_up": w(ks[5], (L, d, cfg.d_ff)),
@@ -133,31 +209,42 @@ def _init_lm_blocks(key, cfg: QwenASRConfig, dtype):
 
 
 def _init_audio_tower(key, cfg: QwenASRConfig, dtype):
-    ka, kb, kc, kd_ = jax.random.split(key, 4)
-    da = cfg.d_audio
-    s = da ** -0.5
+    da, h = cfg.d_audio, cfg.audio_downsample_hidden
     L = cfg.audio_layers
+    s = da ** -0.5
+    freq_out = cfg.n_mels
+    for _ in range(3):
+        freq_out = (freq_out + 1) // 2
+    ks = jax.random.split(key, 16)
 
     def w(k, shape, scale=None):
         return (jax.random.normal(k, shape) * (scale or s)).astype(dtype)
 
-    ks = jax.random.split(kc, 6)
     return {
-        "conv1_w": w(ka, (da, cfg.n_mels, 3), 0.05),
-        "conv1_b": jnp.zeros((da,), dtype),
-        "conv2_w": w(kb, (da, da, 3), 0.05),
-        "conv2_b": jnp.zeros((da,), dtype),
+        # conv2d: torch OIHW layout (out, in, kh, kw)
+        "conv2d1_w": w(ks[0], (h, 1, 3, 3), 0.1),
+        "conv2d1_b": jnp.zeros((h,), dtype),
+        "conv2d2_w": w(ks[1], (h, h, 3, 3), 0.1),
+        "conv2d2_b": jnp.zeros((h,), dtype),
+        "conv2d3_w": w(ks[2], (h, h, 3, 3), 0.1),
+        "conv2d3_b": jnp.zeros((h,), dtype),
+        "conv_out_w": w(ks[3], (h * freq_out, da)),   # (in, out), no bias
         "blocks": {
-            "ln1": jnp.ones((L, da), dtype),
-            "wq": w(ks[0], (L, da, da)), "wk": w(ks[1], (L, da, da)),
-            "wv": w(ks[2], (L, da, da)), "wo": w(ks[3], (L, da, da)),
-            "ln2": jnp.ones((L, da), dtype),
-            "w1": w(ks[4], (L, da, 4 * da)),
-            "w2": w(ks[5], (L, 4 * da, da)),
+            "ln1_s": jnp.ones((L, da), dtype), "ln1_b": jnp.zeros((L, da), dtype),
+            "wq": w(ks[4], (L, da, da)), "bq": jnp.zeros((L, da), dtype),
+            "wk": w(ks[5], (L, da, da)), "bk": jnp.zeros((L, da), dtype),
+            "wv": w(ks[6], (L, da, da)), "bv": jnp.zeros((L, da), dtype),
+            "wo": w(ks[7], (L, da, da)), "bo": jnp.zeros((L, da), dtype),
+            "ln2_s": jnp.ones((L, da), dtype), "ln2_b": jnp.zeros((L, da), dtype),
+            "w1": w(ks[8], (L, da, cfg.audio_ffn)),
+            "b1": jnp.zeros((L, cfg.audio_ffn), dtype),
+            "w2": w(ks[9], (L, cfg.audio_ffn, da)),
+            "b2": jnp.zeros((L, da), dtype),
         },
-        "ln_post": jnp.ones((da,), dtype),
-        "adapter_w": w(kd_, (da, cfg.d_model)),
-        "adapter_b": jnp.zeros((cfg.d_model,), dtype),
+        "ln_post_s": jnp.ones((da,), dtype), "ln_post_b": jnp.zeros((da,), dtype),
+        "proj1_w": w(ks[10], (da, da)), "proj1_b": jnp.zeros((da,), dtype),
+        "proj2_w": w(ks[11], (da, cfg.d_model)),
+        "proj2_b": jnp.zeros((cfg.d_model,), dtype),
     }
 
 
@@ -177,53 +264,90 @@ def init_params(cfg: QwenASRConfig, key: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# audio tower
+# audio tower (AuT)
 # ---------------------------------------------------------------------------
 
-def _audio_block(x, p, n_heads, rope_theta):
-    b, t, d = x.shape
-    h = rms_norm(x, p["ln1"], 1e-6)
-    pos = jnp.arange(t)
-    q = rope(_dense(h, p["wq"]).reshape(b, t, n_heads, -1), pos, rope_theta)
-    k = rope(_dense(h, p["wk"]).reshape(b, t, n_heads, -1), pos, rope_theta)
-    v = _dense(h, p["wv"]).reshape(b, t, n_heads, -1)
+def _audio_block(x, p, n_heads):
+    """x (N, W, d): bidirectional attention within each window row."""
+    n, wlen, d = x.shape
+    h = layer_norm(x, p["ln1_s"], p["ln1_b"])
+    q = _dense(h, p["wq"], p["bq"]).reshape(n, wlen, n_heads, -1)
+    k = _dense(h, p["wk"], p["bk"]).reshape(n, wlen, n_heads, -1)
+    v = _dense(h, p["wv"], p["bv"]).reshape(n, wlen, n_heads, -1)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                         preferred_element_type=jnp.float32)
-    a = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    a = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", a, v,
                    preferred_element_type=jnp.float32).astype(x.dtype)
-    x = x + _dense(o.reshape(b, t, d), p["wo"])
-    h = rms_norm(x, p["ln2"], 1e-6)
-    x = x + _dense(jax.nn.gelu(_dense(h, p["w1"]), approximate=False),
-                   p["w2"])
+    x = x + _dense(o.reshape(n, wlen, d), p["wo"], p["bo"])
+    h = layer_norm(x, p["ln2_s"], p["ln2_b"])
+    x = x + _dense(jax.nn.gelu(_dense(h, p["w1"], p["b1"]),
+                               approximate=False), p["w2"], p["b2"])
     return x
 
 
 def encode_audio(params: Params, cfg: QwenASRConfig,
                  mel: jax.Array) -> jax.Array:
-    """mel (B, n_mels, T_mel) → audio embeddings (B, T_mel/4, d_model)."""
+    """mel (B, n_mels, T) → audio embeddings (B, tokens, d_model).
+
+    T must be a multiple of ``cfg.mel_multiple`` (400 = 4 s by default);
+    tokens = (T / chunk_frames) * chunk_tokens (12.5 Hz).
+    """
     a = params["audio"]
+    b, m, t = mel.shape
+    cf, ct = cfg.chunk_frames, cfg.chunk_tokens
+    n_chunk = t // cf
 
-    def conv(x, w, b, stride):
+    # (B, M, T) → per-chunk images (B*n_chunk, 1, M, cf)
+    x = mel.reshape(b, m, n_chunk, cf).transpose(0, 2, 1, 3)
+    x = x.reshape(b * n_chunk, 1, m, cf)
+
+    def conv2d(x, w, bias):
         out = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype), window_strides=(stride,),
-            padding=((1, 1),), dimension_numbers=("NCH", "OIH", "NCH"),
+            x, w.astype(x.dtype), window_strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
             preferred_element_type=jnp.float32)
-        return (out + b.astype(jnp.float32)[None, :, None]).astype(x.dtype)
+        return (out + bias.astype(jnp.float32)[None, :, None, None]
+                ).astype(x.dtype)
 
-    x = jax.nn.gelu(conv(mel, a["conv1_w"], a["conv1_b"], 2),
+    x = jax.nn.gelu(conv2d(x, a["conv2d1_w"], a["conv2d1_b"]),
                     approximate=False)
-    x = jax.nn.gelu(conv(x, a["conv2_w"], a["conv2_b"], 2),
+    x = jax.nn.gelu(conv2d(x, a["conv2d2_w"], a["conv2d2_b"]),
                     approximate=False)
-    x = jnp.swapaxes(x, 1, 2)
+    x = jax.nn.gelu(conv2d(x, a["conv2d3_w"], a["conv2d3_b"]),
+                    approximate=False)
+    # (BN, C, F', ct) → (BN, ct, C*F') matching torch's permute+view
+    bn, c, fq, tt = x.shape
+    x = x.transpose(0, 3, 1, 2).reshape(bn, tt, c * fq)
+    x = _dense(x, a["conv_out_w"])                        # (BN, ct, da)
+
+    # per-chunk positions (reset every chunk — AuT semantics)
+    pos = jnp.asarray(sinusoid_positions(ct, cfg.d_audio), x.dtype)
+    x = x + pos[None]
+
+    # window rows: (B * n_windows, window_tokens, da)
+    wt = cfg.window_tokens
+    x = x.reshape(b, n_chunk * ct, cfg.d_audio)
+    n_win = (n_chunk * ct) // wt
+    x = x.reshape(b * n_win, wt, cfg.d_audio)
 
     def body(h, layer_p):
-        return _audio_block(h, layer_p, cfg.audio_heads, cfg.rope_theta), None
+        return _audio_block(h, layer_p, cfg.audio_heads), None
 
     x, _ = jax.lax.scan(body, x, a["blocks"])
-    x = rms_norm(x, a["ln_post"], 1e-6)
-    return _dense(x, a["adapter_w"]) + a["adapter_b"].astype(x.dtype)
+    x = layer_norm(x, a["ln_post_s"], a["ln_post_b"])
+    x = _dense(x, a["proj1_w"], a["proj1_b"])
+    x = jax.nn.gelu(x, approximate=False)
+    x = _dense(x, a["proj2_w"], a["proj2_b"])
+    return x.reshape(b, n_chunk * ct, cfg.d_model)
+
+
+def mel_frames_for(cfg: QwenASRConfig, n_mel_frames: int) -> int:
+    """Round a mel length UP to the fixed-shape multiple."""
+    mult = cfg.mel_multiple
+    return ((n_mel_frames + mult - 1) // mult) * mult
 
 
 # ---------------------------------------------------------------------------
@@ -248,10 +372,11 @@ def _lm_block(x, p, cache_k, cache_v, pos, cfg: QwenASRConfig, bias):
     nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     h = rms_norm(x, p["ln1"], cfg.rms_eps)
     positions = pos + jnp.arange(q_len)
-    q = rope(_dense(h, p["wq"]).reshape(b, q_len, nh, hd), positions,
-             cfg.rope_theta)
-    k = rope(_dense(h, p["wk"]).reshape(b, q_len, nkv, hd), positions,
-             cfg.rope_theta)
+    q = _dense(h, p["wq"]).reshape(b, q_len, nh, hd)
+    k = _dense(h, p["wk"]).reshape(b, q_len, nkv, hd)
+    # Qwen3 per-head q/k RMSNorm, then rotary
+    q = rope(rms_norm(q, p["q_norm"], cfg.rms_eps), positions, cfg.rope_theta)
+    k = rope(rms_norm(k, p["k_norm"], cfg.rms_eps), positions, cfg.rope_theta)
     v = _dense(h, p["wv"])
     cache_k = jax.lax.dynamic_update_slice(
         cache_k, k.reshape(b, q_len, nkv * hd).astype(cache_k.dtype),
@@ -271,7 +396,7 @@ def _lm_block(x, p, cache_k, cache_v, pos, cfg: QwenASRConfig, bias):
     a = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", a, vv,
                    preferred_element_type=jnp.float32).astype(x.dtype)
-    x = x + _dense(o.reshape(b, q_len, d), p["wo"])
+    x = x + _dense(o.reshape(b, q_len, nh * hd), p["wo"])
     h = rms_norm(x, p["ln2"], cfg.rms_eps)
     gate = jax.nn.silu(_dense(h, p["w_gate"]))
     x = x + _dense(gate * _dense(h, p["w_up"]), p["w_down"])
@@ -319,7 +444,8 @@ def generate(params: Params, cfg: QwenASRConfig, mel: jax.Array,
              rng: Optional[jax.Array] = None) -> QwenGenResult:
     """Transcribe mel windows: audio prefix + BOS → greedy generation.
 
-    audio_len: number of audio embedding positions (static; mel frames/4).
+    audio_len: number of audio embedding positions to keep as the LM
+    prefix (static; ≤ cfg.audio_tokens_for(mel frames)).
     """
     b = mel.shape[0]
     audio_emb = encode_audio(params, cfg, mel)[:, :audio_len]

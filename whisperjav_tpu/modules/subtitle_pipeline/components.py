@@ -123,21 +123,37 @@ class QwenGenerator:
 
     def __init__(self, model_size: str = "qwen3-asr-test",
                  params=None, tokenizer=None, batch_size: int = 4,
-                 repetition_penalty: float = 1.1):
+                 repetition_penalty: float = 1.1,
+                 checkpoint: Optional[str] = None):
         from whisperjav_tpu.models.qwen.model import QWEN_SIZES
         self.cfg = QWEN_SIZES[model_size]
         self._params = params
+        self.checkpoint = checkpoint
         self.tokenizer = tokenizer
+        if tokenizer is None and checkpoint is not None:
+            from whisperjav_tpu.models.qwen.tokenizer import (
+                QwenTokenizer, find_tokenizer_files,
+            )
+            src = find_tokenizer_files(checkpoint)
+            if src is not None:
+                self.tokenizer = QwenTokenizer(src)
         self.batch_size = batch_size
         self.repetition_penalty = repetition_penalty
 
     def load(self) -> None:
-        if self._params is None:
-            import jax
-            from whisperjav_tpu.models.qwen.model import init_params
-            logger.warning("qwen generator: random-init %s weights",
-                           self.cfg.name)
-            self._params = init_params(self.cfg, jax.random.PRNGKey(0))
+        if self._params is not None:
+            return
+        if self.checkpoint is not None:
+            from whisperjav_tpu.models.qwen.convert import load_pretrained
+            self.cfg, self._params = load_pretrained(self.checkpoint)
+            logger.info("qwen generator: loaded %s from %s",
+                        self.cfg.name, self.checkpoint)
+            return
+        import jax
+        from whisperjav_tpu.models.qwen.model import init_params
+        logger.warning("qwen generator: random-init %s weights",
+                       self.cfg.name)
+        self._params = init_params(self.cfg, jax.random.PRNGKey(0))
 
     def unload(self) -> None:
         self._params = None   # API-compat hook; XLA manages HBM
@@ -157,8 +173,9 @@ class QwenGenerator:
         assert self._params is not None, "call load() first"
         out: List[TranscriptionResult] = []
         max_len = max((len(c) for c in clips), default=0)
-        # pad to a whole number of 640-sample (4-mel-frame) units
-        unit = 640
+        # pad to a whole number of AuT attention-window units
+        # (mel_multiple mel frames × 160-sample hop = 4 s by default)
+        unit = self.cfg.mel_multiple * 160
         max_len = ((max_len + unit - 1) // unit) * unit or unit
         budget = token_budget(self.cfg, max_len / sample_rate)
         for i in range(0, len(clips), self.batch_size):
@@ -169,7 +186,7 @@ class QwenGenerator:
             mel = log_mel_spectrogram(jnp.asarray(buf),
                                       n_mels=self.cfg.n_mels)
             res = generate(self._params, self.cfg, mel, max_new=budget,
-                           audio_len=mel.shape[-1] // 4,
+                           audio_len=self.cfg.audio_tokens_for(mel.shape[-1]),
                            repetition_penalty=self.repetition_penalty)
             toks = np.asarray(res.tokens)
             lens = np.asarray(res.length)
