@@ -37,10 +37,22 @@ class ZipJaxEnhancer:
     def __init__(self, **kwargs):
         self.config = ZipJaxConfig(**kwargs)
         self._params = None
+        self._model_cfg = None
+        self._legacy = False
         if self.config.weights:
-            from whisperjav_tpu.models.enhancement import zipnet
-            self._params = zipnet.load_params(self.config.weights)
-            logger.info("zipenhancer: loaded weights from %s",
+            tree = np.load(self.config.weights)
+            if any(k.startswith("enc_conv1") or k == "__cfg__"
+                   for k in tree.files):
+                # dual-path checkpoint tree (models/enhancement/zipenhancer)
+                from whisperjav_tpu.models.enhancement import zipenhancer
+                self._params, self._model_cfg = zipenhancer.load_params(
+                    self.config.weights)
+            else:
+                from whisperjav_tpu.models.enhancement import zipnet
+                self._params = zipnet.load_params(self.config.weights)
+                self._legacy = True
+            logger.info("zipenhancer: loaded %s weights from %s",
+                        "unet" if self._legacy else "dual-path",
                         self.config.weights)
 
     def get_preferred_sample_rate(self) -> int:
@@ -56,17 +68,22 @@ class ZipJaxEnhancer:
             sample_rate = SR
 
         import jax.numpy as jnp
-        from whisperjav_tpu.models.enhancement import zipnet
         from whisperjav_tpu.modules.enhancement.base import chunked_crossfade
 
         chunk = int(self.config.chunk_s * SR)
         fade = int(self.config.crossfade_s * SR)
         if len(audio) == 0:
             return EnhancementResult(audio, sample_rate, True, self.name)
-        out = chunked_crossfade(
-            audio, chunk, fade,
-            lambda clip: np.asarray(zipnet.denoise(
-                self._params, jnp.asarray(clip[None]), chunk))[0])
+        if self._legacy:
+            from whisperjav_tpu.models.enhancement import zipnet
+            run = lambda clip: np.asarray(zipnet.denoise(      # noqa: E731
+                self._params, jnp.asarray(clip[None]), chunk))[0]
+        else:
+            from whisperjav_tpu.models.enhancement import zipenhancer
+            run = lambda clip: np.asarray(zipenhancer.denoise(  # noqa: E731
+                self._params, jnp.asarray(clip[None]), chunk,
+                self._model_cfg))[0]
+        out = chunked_crossfade(audio, chunk, fade, run)
         return EnhancementResult(out, sample_rate, True, self.name,
                                  {"chunks": int(np.ceil(len(audio)
                                                         / max(chunk - fade,
