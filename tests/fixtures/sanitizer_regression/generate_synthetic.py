@@ -29,6 +29,18 @@ HALLUCINATIONS = [
     "ご視聴ありがとうございました", "チャンネル登録をお願いします",
     "最後までご視聴いただきありがとうございます",
     "字幕は視聴者によって作成されました",
+    # deep filter_list_v08 entries (exercise the full bundled DB)
+    "チャンネル登録してね", "おやすみなさい", "ありがとうございました",
+    # punct/whitespace variants → punct-stripped + fully-normalized stages
+    "ご視聴ありがとう ございました。", "チャンネル登録お願いします,",
+    # regexp_v09 full-line categories
+    "チャンネル登録お願いいたします",
+    # bracketed SDH captions → bracket-context drop
+    "（音楽）", "【拍手】", "(笑い声)",
+    # emoji-contains drop gate
+    "♪〜", "こんばんは🎵みなさん",
+    # latin-only line in a JA transcript → nonsensical category
+    "thanks for watching everyone",
 ]
 
 REPETITION_TEMPLATES = [

@@ -7,7 +7,7 @@ import time
 import pytest
 
 from whisperjav_tpu.modules.sanitize.hallucinations import (
-    HallucinationRemover, JA_REGEX_RULES,
+    HallucinationRemover,
 )
 from whisperjav_tpu.modules.sanitize.repetition import RepetitionCleaner
 
@@ -42,9 +42,18 @@ def test_repetition_cleaner_terminates(text):
     assert time.time() - t0 < BUDGET_S
 
 
-def test_every_ja_rule_individually():
+def test_every_db_pattern_individually():
+    """Every pattern loaded from regexp_v09.json must terminate fast on
+    adversarial input (reference: tests/test_redos_all_patterns.py)."""
+    import re
+
+    hr = HallucinationRemover("ja")
+    patterns = hr.iter_patterns()
+    assert len(patterns) >= 30   # the bundled DB ships ~36 patterns
     blob = "".join(ADVERSARIAL)[:20000]
-    for pat, _repl in JA_REGEX_RULES:
+    for pat in patterns:
+        compiled = re.compile(pat)
         t0 = time.time()
-        pat.sub("", blob)
-        assert time.time() - t0 < BUDGET_S, pat.pattern
+        compiled.sub("", blob)
+        compiled.search(blob)
+        assert time.time() - t0 < BUDGET_S, pat
