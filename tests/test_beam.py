@@ -77,3 +77,65 @@ def test_beam_outputs_valid(tiny_model):
                 if prev is not None:
                     assert t >= prev
                 prev = t
+
+
+def test_patience_winner_at_least_as_good(tiny_model):
+    """More patience = larger finished pool + longer search: the selected
+    normalized score can only improve."""
+    params, xa = tiny_model
+
+    def norm_scores(patience):
+        opts = DecodeOptions(with_timestamps=False, max_new_tokens=14,
+                             beam_size=2, patience=patience)
+        res = decode_beam(params, TINY, xa, opts)
+        return (np.asarray(res.sum_logprob)
+                / ((5.0 + np.asarray(res.length)) / 6.0))
+
+    assert (norm_scores(2.0) >= norm_scores(1.0) - 1e-3).all()
+
+
+def test_patience_keeps_beams_alive_past_first_eot(monkeypatch):
+    """Constructed case (VERDICT item 5): the best hypothesis [A, C, eot]
+    finishes only AFTER ceil(k·patience)=k hypotheses have already
+    finished, so patience=1 stops early and picks [B, eot] while
+    patience=2 keeps searching and changes the selection."""
+    import whisperjav_tpu.models.whisper.decode as D
+
+    eot = TINY.eot
+    A, B, C = 100, 101, 102
+
+    def fake_rules(logits, state, config, options, static_mask, prompt_len):
+        b_rows, v = logits.shape
+        neg = jnp.full((v,), -60.0, jnp.float32)
+        step0 = neg.at[eot].set(-0.7).at[A].set(-0.75).at[B].set(-0.8)
+        row_a = neg.at[C].set(-0.05).at[eot].set(-3.0)
+        row_b = neg.at[eot].set(-0.1)
+        row_c = neg.at[eot].set(-0.01)
+        last = jax.lax.dynamic_index_in_dim(
+            state.tokens, prompt_len + state.step - 1, axis=1, keepdims=False)
+        per_row = jnp.where((last == A)[:, None], row_a[None, :],
+                            jnp.where((last == B)[:, None], row_b[None, :],
+                                      row_c[None, :]))
+        return jnp.where(state.step == 0,
+                         jnp.broadcast_to(step0, (b_rows, v)), per_row)
+
+    monkeypatch.setattr(D, "_apply_logit_rules", fake_rules)
+
+    params = init_params(TINY, jax.random.PRNGKey(11))
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 200)).astype(np.float32))
+    xa = encode(params, TINY, mel)
+
+    # length_penalty 2.0 normalizations: [eot] → -0.7/0.694 ≈ -1.01,
+    # [B,eot] → ≈-0.9, [A,C,eot] → ≈-0.81/1.36 ≈ -0.60 (the true best).
+    common = dict(with_timestamps=False, beam_size=2, length_penalty=2.0)
+    p1 = decode_beam(params, TINY, xa,
+                     DecodeOptions(max_new_tokens=6, patience=1.0, **common))
+    p2 = decode_beam(params, TINY, xa,
+                     DecodeOptions(max_new_tokens=7, patience=2.0, **common))
+    # patience=1: pool (size k=2) fills at step 1 → stops on [B, eot]
+    assert int(np.asarray(p1.length)[0]) == 1
+    assert int(np.asarray(p1.tokens)[0, 0]) == B
+    # patience=2: keeps beams alive past the early finishes → [A, C, eot]
+    assert int(np.asarray(p2.length)[0]) == 2
+    assert list(np.asarray(p2.tokens)[0, :2]) == [A, C]

@@ -28,6 +28,10 @@ class SensitivityPreset:
     # quality gates
     logprob_threshold: float
     no_speech_threshold: float
+    # beam patience / sampled best-of (reference:
+    # config/components/asr/faster_whisper.py:241-242,281-282,321-322)
+    patience: float = 1.0
+    best_of: int = 2
     compression_ratio_threshold: float = 2.4
     # VAD
     vad_threshold: float = 0.28
@@ -43,12 +47,14 @@ SENSITIVITY_PRESETS: Dict[str, SensitivityPreset] = {
         max_group_duration_s=7.0, energy_vad_db=42.0),
     "balanced": SensitivityPreset(
         name="balanced", beam_size=2, temperatures=(0.0, 0.2),
-        repetition_penalty=1.5, logprob_threshold=-0.92,
+        repetition_penalty=1.5, patience=1.2,
+        logprob_threshold=-0.92,
         no_speech_threshold=0.65, vad_threshold=0.28,
         max_group_duration_s=6.0, energy_vad_db=40.0),
     "aggressive": SensitivityPreset(
         name="aggressive", beam_size=3, temperatures=(0.0, 0.2),
-        repetition_penalty=1.3, logprob_threshold=-1.0,
+        repetition_penalty=1.3, patience=1.3,
+        logprob_threshold=-1.0,
         no_speech_threshold=0.72, vad_threshold=0.18,
         max_group_duration_s=5.0, energy_vad_db=37.0),
 }

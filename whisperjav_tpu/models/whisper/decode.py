@@ -54,6 +54,16 @@ class DecodeOptions:
     suppress_tokens: Tuple[int, ...] = DEFAULT_NONSPEECH_TOKENS
     repetition_penalty: float = 1.0
     beam_size: int = 1
+    # beam patience (Kasai et al. 2020; the CTranslate2/faster-whisper
+    # option every sensitivity preset tunes — reference:
+    # config/components/asr/faster_whisper.py:242,282,322): search runs
+    # until ceil(beam_size*patience) hypotheses have FINISHED; finished
+    # hypotheses leave the beam (into a pool) so their slots keep
+    # exploring instead of freezing on the first EOT.
+    patience: float = 1.0
+    # number of independent samples on the temperature>0 fallback rungs;
+    # the best row by avg logprob wins (faster-whisper best_of)
+    best_of: int = 1
     length_penalty: float = 1.0
     ts_precision: float = 0.02
     # int8-quantize cross-attention K/V per (layer,batch,head): halves the
@@ -373,15 +383,19 @@ def extract_segments(
 
 class _BeamState(NamedTuple):
     step: jax.Array
-    tokens: jax.Array        # (B*k, total_len)
+    tokens: jax.Array        # (B*k, total_len) live beams (never finished)
     cache: KVCache           # (L, B*k, T, H, hd)
     cur_logits: jax.Array    # (B*k, V)
     cum_lp: jax.Array        # (B, k) cumulative logprob per live beam
     length: jax.Array        # (B*k,)
-    finished: jax.Array      # (B*k,)
     last_was_ts: jax.Array
     penult_was_ts: jax.Array
     max_ts: jax.Array
+    # finished-hypothesis pool (patience semantics): (B, n_fin, …)
+    pool_tokens: jax.Array
+    pool_score: jax.Array    # length-normalized, -inf = empty slot
+    pool_sum_lp: jax.Array
+    pool_len: jax.Array
 
 
 def _length_norm(length: jax.Array, alpha: float) -> jax.Array:
@@ -396,11 +410,22 @@ def _beam_loop(params: Params, config: WhisperConfig, options: DecodeOptions,
                tokens_init: jax.Array, prompt_len: int, cross: CrossKV,
                cache: KVCache, prefill_logits: jax.Array,
                sot_logits: jax.Array) -> DecodeResult:
+    """Patience-aware beam search (Kasai et al. 2020 / CTranslate2).
+
+    Live beams NEVER freeze: a candidate ending in EOT moves to a
+    per-row finished pool of ceil(k·patience) slots and its beam slot
+    takes the next-best live continuation. The loop stops when every
+    row's pool is full (or at max_new_tokens); the winner is the best
+    length-normalized pooled hypothesis, falling back to the best live
+    beam for rows that never finished.
+    """
     k = options.beam_size
     bk = tokens_init.shape[0]
     b = bk // k
     v = config.n_vocab
     max_new = options.max_new_tokens
+    total_len = tokens_init.shape[1]
+    n_fin = max(k, int(np.ceil(k * options.patience)))
     static_mask = jnp.asarray(_static_suppress_mask(config, options))
     no_speech_prob = jax.nn.softmax(
         sot_logits.reshape(b, k, v)[:, 0], axis=-1)[:, config.no_speech]
@@ -412,80 +437,121 @@ def _beam_loop(params: Params, config: WhisperConfig, options: DecodeOptions,
         step=jnp.int32(0), tokens=tokens_init, cache=cache,
         cur_logits=prefill_logits, cum_lp=cum0,
         length=jnp.zeros((bk,), jnp.int32),
-        finished=jnp.zeros((bk,), jnp.bool_),
         last_was_ts=jnp.zeros((bk,), jnp.bool_),
         penult_was_ts=jnp.ones((bk,), jnp.bool_),
         max_ts=jnp.full((bk,), config.timestamp_begin, jnp.int32),
+        pool_tokens=jnp.zeros((b, n_fin, total_len), jnp.int32),
+        pool_score=jnp.full((b, n_fin), -jnp.inf, jnp.float32),
+        pool_sum_lp=jnp.zeros((b, n_fin), jnp.float32),
+        pool_len=jnp.zeros((b, n_fin), jnp.int32),
     )
 
     def cond(s: _BeamState):
-        return (s.step < max_new) & ~jnp.all(s.finished)
+        pool_full = jnp.all(s.pool_score > -1e29, axis=1)   # (B,)
+        return (s.step < max_new) & ~jnp.all(pool_full)
 
     def body(s: _BeamState) -> _BeamState:
         # rules need a _State-compatible view for the shared filter fn
         pseudo = _State(step=s.step, tokens=s.tokens, cache=s.cache,
                         cur_logits=s.cur_logits, sum_lp=None, length=s.length,
-                        finished=s.finished, last_was_ts=s.last_was_ts,
+                        finished=jnp.zeros((bk,), jnp.bool_),
+                        last_was_ts=s.last_was_ts,
                         penult_was_ts=s.penult_was_ts, max_ts=s.max_ts,
                         rng=None)
         logits = _apply_logit_rules(s.cur_logits, pseudo, config, options,
                                     static_mask, prompt_len)
         lp = jax.nn.log_softmax(logits, axis=-1)          # (B*k, V)
-        # finished beams: only EOT continuation at zero cost
-        eot_only = jnp.full((v,), -jnp.inf).at[config.eot].set(0.0)
-        lp = jnp.where(s.finished[:, None], eot_only[None, :], lp)
-
         total = s.cum_lp.reshape(bk, 1) + lp              # (B*k, V)
-        scores, flat_idx = jax.lax.top_k(total.reshape(b, k * v), k)
-        beam_src = flat_idx // v                           # (B, k) in [0,k)
-        token = (flat_idx % v).astype(jnp.int32)           # (B, k)
 
-        # gather beam state along the beam axis
-        gidx = (jnp.arange(b)[:, None] * k + beam_src).reshape(bk)  # (B*k,)
+        # top 2k candidates per row: each source beam contributes at most
+        # one EOT candidate, so at least k of the 2k are live continuations
+        scores2k, flat_idx = jax.lax.top_k(total.reshape(b, k * v), 2 * k)
+        beam_src = flat_idx // v                          # (B, 2k)
+        token2k = (flat_idx % v).astype(jnp.int32)        # (B, 2k)
+        is_eot = token2k == config.eot
+        pos = prompt_len + s.step
+
+        # --- finished candidates → pool (length-normalized insertion) ---
+        src_len = jnp.take_along_axis(s.length.reshape(b, k), beam_src,
+                                      axis=1)              # (B, 2k)
+        cand_norm = scores2k / _length_norm(src_len, options.length_penalty)
+        cand_norm = jnp.where(is_eot, cand_norm, -jnp.inf)
+        # candidate token buffers: source beam tokens + EOT at pos
+        gidx2k = jnp.arange(b)[:, None] * k + beam_src     # (B, 2k)
+        cand_tokens = jnp.take(s.tokens, gidx2k.reshape(-1), axis=0
+                               ).reshape(b, 2 * k, total_len)
+        eot_col = jnp.full((b, 2 * k, 1), config.eot, jnp.int32)
+        cand_tokens = jax.lax.dynamic_update_slice(
+            cand_tokens, eot_col, (0, 0, pos))
+
+        all_scores = jnp.concatenate([s.pool_score, cand_norm], axis=1)
+        all_tokens = jnp.concatenate([s.pool_tokens, cand_tokens], axis=1)
+        all_sum = jnp.concatenate(
+            [s.pool_sum_lp, scores2k], axis=1)
+        all_len = jnp.concatenate([s.pool_len, src_len], axis=1)
+        top_scores, top_idx = jax.lax.top_k(all_scores, n_fin)
+        pool_tokens = jnp.take_along_axis(all_tokens, top_idx[..., None],
+                                          axis=1)
+        pool_sum_lp = jnp.take_along_axis(all_sum, top_idx, axis=1)
+        pool_len = jnp.take_along_axis(all_len, top_idx, axis=1)
+
+        # --- live continuations: best k non-EOT candidates ---
+        live_scores = jnp.where(is_eot, -jnp.inf, scores2k)
+        sel_scores, sel = jax.lax.top_k(live_scores, k)    # (B, k) of [0,2k)
+        live_src = jnp.take_along_axis(beam_src, sel, axis=1)
+        live_tok = jnp.take_along_axis(token2k, sel, axis=1)
+
+        gidx = (jnp.arange(b)[:, None] * k + live_src).reshape(bk)
         tokens = jnp.take(s.tokens, gidx, axis=0)
-        cache = KVCache(jnp.take(s.cache.k, gidx, axis=1),
-                        jnp.take(s.cache.v, gidx, axis=1))
-        length = jnp.take(s.length, gidx)
-        finished = jnp.take(s.finished, gidx)
+        cache_ = KVCache(jnp.take(s.cache.k, gidx, axis=1),
+                         jnp.take(s.cache.v, gidx, axis=1))
+        length = jnp.take(s.length, gidx) + 1
         last_was_ts = jnp.take(s.last_was_ts, gidx)
-        penult_was_ts = jnp.take(s.penult_was_ts, gidx)
         max_ts = jnp.take(s.max_ts, gidx)
 
-        tok_flat = token.reshape(bk)
-        tok_flat = jnp.where(finished, config.eot, tok_flat)
-        is_eot = tok_flat == config.eot
-        new_len = length + jnp.where(finished | is_eot, 0, 1)
-        new_fin = finished | is_eot
-
-        pos = prompt_len + s.step
+        tok_flat = live_tok.reshape(bk)
         tokens = jax.lax.dynamic_update_slice(tokens, tok_flat[:, None],
                                               (0, pos))
         is_ts = tok_flat >= config.timestamp_begin
-        new_max_ts = jnp.where(is_ts & ~finished,
-                               jnp.maximum(max_ts, tok_flat), max_ts)
+        new_max_ts = jnp.where(is_ts, jnp.maximum(max_ts, tok_flat), max_ts)
 
-        next_logits, cache = decode_step(
-            params, config, tok_flat[:, None], pos, cache, cross)
+        next_logits, cache_ = decode_step(
+            params, config, tok_flat[:, None], pos, cache_, cross)
 
         return _BeamState(
-            step=s.step + 1, tokens=tokens, cache=cache,
-            cur_logits=next_logits[:, 0], cum_lp=scores,
-            length=new_len, finished=new_fin,
-            last_was_ts=jnp.where(finished, last_was_ts, is_ts),
-            penult_was_ts=jnp.where(finished, penult_was_ts, last_was_ts),
+            step=s.step + 1, tokens=tokens, cache=cache_,
+            cur_logits=next_logits[:, 0], cum_lp=sel_scores,
+            length=length,
+            last_was_ts=is_ts, penult_was_ts=last_was_ts,
             max_ts=new_max_ts,
+            pool_tokens=pool_tokens, pool_score=top_scores,
+            pool_sum_lp=pool_sum_lp, pool_len=pool_len,
         )
 
     final = jax.lax.while_loop(cond, body, state)
 
-    # pick best beam per batch by length-normalized score
-    norm = _length_norm(final.length.reshape(b, k), options.length_penalty)
-    norm_scores = final.cum_lp / norm
-    best = jnp.argmax(norm_scores, axis=1)                 # (B,)
-    sel = jnp.arange(b) * k + best
-    tokens = jnp.take(final.tokens, sel, axis=0)
-    length = jnp.take(final.length, sel)
-    sum_lp = jnp.take(final.cum_lp.reshape(bk), sel)
+    # winner: best pooled hypothesis; rows with an empty pool fall back to
+    # the best live beam (ran out of steps before finishing)
+    best_pool = jnp.argmax(final.pool_score, axis=1)       # (B,)
+    pool_has = jnp.any(final.pool_score > -1e29, axis=1)
+    pool_tok = jnp.take_along_axis(
+        final.pool_tokens, best_pool[:, None, None], axis=1)[:, 0]
+    pool_sum = jnp.take_along_axis(final.pool_sum_lp, best_pool[:, None],
+                                   axis=1)[:, 0]
+    pool_len = jnp.take_along_axis(final.pool_len, best_pool[:, None],
+                                   axis=1)[:, 0]
+
+    live_norm = final.cum_lp / _length_norm(
+        final.length.reshape(b, k), options.length_penalty)
+    best_live = jnp.argmax(live_norm, axis=1)
+    sel = jnp.arange(b) * k + best_live
+    live_tok = jnp.take(final.tokens, sel, axis=0)
+    live_sum = jnp.take(final.cum_lp.reshape(bk), sel)
+    live_len = jnp.take(final.length, sel)
+
+    tokens = jnp.where(pool_has[:, None], pool_tok, live_tok)
+    sum_lp = jnp.where(pool_has, pool_sum, live_sum)
+    length = jnp.where(pool_has, pool_len, live_len)
 
     gen = jax.lax.dynamic_slice_in_dim(tokens, prompt_len, max_new, 1)
     first_eot = jnp.argmax(gen == config.eot, axis=1)

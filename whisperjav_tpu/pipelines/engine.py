@@ -159,9 +159,30 @@ class TranscriptionEngine:
                                          max_new_tokens=budget))
         if temperature == 0.0 and self._decode_beam_fn is not None:
             return self._decode_beam_fn(self.params, xa, opts)
-        return self._decode_fn(self.params, xa,
-                               jnp.float32(temperature),
-                               jax.random.PRNGKey(seed), opts)
+        result = self._decode_fn(self.params, xa,
+                                 jnp.float32(temperature),
+                                 jax.random.PRNGKey(seed), opts)
+        # best_of (faster-whisper): on sampled rungs draw N independent
+        # samples (same compiled program, fresh rng) and keep the best row
+        # by avg logprob. Shapes/shardings are unchanged → no recompile.
+        n_best = opts.best_of if temperature > 0.0 else 1
+        if n_best > 1:
+            best = DecodeResult(*[np.asarray(x) for x in result])
+            for i in range(1, n_best):
+                cand = self._decode_fn(self.params, xa,
+                                       jnp.float32(temperature),
+                                       jax.random.PRNGKey(seed + 7919 * i),
+                                       opts)
+                cand = DecodeResult(*[np.asarray(x) for x in cand])
+                win = cand.avg_logprob > best.avg_logprob
+                best = DecodeResult(
+                    np.where(win[:, None], cand.tokens, best.tokens),
+                    np.where(win, cand.length, best.length),
+                    np.where(win, cand.sum_logprob, best.sum_logprob),
+                    np.where(win, cand.avg_logprob, best.avg_logprob),
+                    best.no_speech_prob)
+            return best
+        return result
 
     # ------------------------------------------------------------------
     def _compression_ratio(self, token_ids: Sequence[int]) -> float:

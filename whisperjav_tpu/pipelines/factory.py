@@ -63,6 +63,8 @@ def build_pipeline(
                          and not getattr(cfg, "no_timestamps", False)),
         repetition_penalty=sens.repetition_penalty,
         beam_size=sens.beam_size,
+        patience=sens.patience,
+        best_of=sens.best_of,
         cross_kv_int8=True,   # production default: halves decode HBM traffic
     )
     thresholds = QualityThresholds(
