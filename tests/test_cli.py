@@ -131,3 +131,47 @@ def test_main_ensemble(tmp_path, tiny_loader):
     assert (out / "ensemble_batch.json").exists()
     stats = json.loads((tmp_path / "es.json").read_text())
     assert stats["ok"] + stats["degraded"] == 1
+
+
+def test_cli_path_shards_over_mesh(tiny_loader, tmp_path, monkeypatch):
+    """The CLI path (not just the engine) auto-builds a data mesh over all
+    visible devices and pads the global batch to a mesh multiple
+    (VERDICT item 6). Runs on the conftest 8-device virtual CPU mesh."""
+    import whisperjav_tpu.pipelines.factory as factory
+
+    built = {}
+    orig_engine = factory.TranscriptionEngine
+
+    def spy_engine(*a, **k):
+        built["mesh"] = k.get("mesh")
+        built["batch_size"] = k.get("batch_size")
+        return orig_engine(*a, **k)
+
+    monkeypatch.setattr(factory, "TranscriptionEngine", spy_engine)
+    wav = _wav(tmp_path, "mesh.wav", seconds=4.0)
+    rc = cli.main([str(wav), "--mode", "faster", "--batch-size", "3",
+                   "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    assert built["mesh"] is not None
+    assert built["mesh"].devices.size == jax.device_count() == 8
+    assert built["batch_size"] % 8 == 0        # padded to mesh multiple
+    assert (tmp_path / "out").glob("*.srt")
+
+
+def test_cli_devices_flag_forces_single_chip(tiny_loader, tmp_path,
+                                             monkeypatch):
+    import whisperjav_tpu.pipelines.factory as factory
+
+    built = {}
+    orig_engine = factory.TranscriptionEngine
+
+    def spy_engine(*a, **k):
+        built["mesh"] = k.get("mesh")
+        return orig_engine(*a, **k)
+
+    monkeypatch.setattr(factory, "TranscriptionEngine", spy_engine)
+    wav = _wav(tmp_path, "single.wav", seconds=3.0)
+    rc = cli.main([str(wav), "--mode", "faster", "--devices", "1",
+                   "--output-dir", str(tmp_path / "out1")])
+    assert rc == 0
+    assert built["mesh"] is None

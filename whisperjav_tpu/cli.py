@@ -93,6 +93,10 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "(identity/deepseek/gpt/claude/gemini/ollama/…)")
     p.add_argument("--translate-model", default=None)
     p.add_argument("--translate-target", default="English")
+    p.add_argument("--devices", type=int, default=None,
+                   help="number of accelerator chips to shard window "
+                        "batches over (default: all visible; 1 = "
+                        "single-chip)")
     p.add_argument("--async-processing", action="store_true",
                    help="overlap host preprocessing with device decode")
     p.add_argument("--skip-existing", action="store_true",
@@ -253,7 +257,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         from whisperjav_tpu.pipelines.factory import build_pipeline
         pipeline = build_pipeline(cfg, checkpoint=args.checkpoint,
-                                  postprocessor=postprocessor, tracer=tracer)
+                                  postprocessor=postprocessor, tracer=tracer,
+                                  devices=args.devices)
 
     if args.async_processing and cfg.mode.name != "qwen":
         from whisperjav_tpu.utils.async_processor import AsyncPipelineManager

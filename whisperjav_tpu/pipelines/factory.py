@@ -7,6 +7,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from whisperjav_tpu.config.presets import PipelineConfig
 from whisperjav_tpu.models.whisper.config import WHISPER_SIZES, WhisperConfig
@@ -51,9 +52,31 @@ def build_pipeline(
     tracer=None,
     model_config: Optional[WhisperConfig] = None,
     params=None,
+    devices: Optional[int] = None,
 ) -> TranscribePipeline:
     if params is None or model_config is None:
         model_config, params = load_model(cfg.model, checkpoint)
+
+    # Multi-chip by default: when more than one device is visible, shard
+    # window batches data-parallel over ICI (SURVEY §2.2 — the
+    # reference-faithful scaling axis). ``devices`` caps the mesh
+    # (--devices 1 forces single-chip); the global batch pads up to a
+    # mesh multiple so P("data") sharding divides evenly.
+    if mesh is None and devices != 1:
+        avail = jax.device_count()
+        n_dev = min(devices or avail, avail)
+        if n_dev > 1:
+            from whisperjav_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(n_dev)
+            if cfg.batch_size % n_dev:
+                padded = ((cfg.batch_size + n_dev - 1) // n_dev) * n_dev
+                logger.info(
+                    "data-parallel mesh over %d devices: global batch "
+                    "%d → %d", n_dev, cfg.batch_size, padded)
+                cfg.batch_size = padded
+            else:
+                logger.info("data-parallel mesh over %d devices "
+                            "(global batch %d)", n_dev, cfg.batch_size)
 
     sens = cfg.sensitivity
     options = DecodeOptions(
@@ -75,14 +98,17 @@ def build_pipeline(
             t for t in (0.4, 0.6, 0.8, 1.0) if t > max(sens.temperatures)),
     )
     # HBM guard: cross-KV scales with batch x beams; large-v2-class models
-    # fit ~48 effective rows per v5e chip with int8 cross-KV
-    effective_rows = cfg.batch_size * max(sens.beam_size, 1)
+    # fit ~48 effective rows PER CHIP with int8 cross-KV
+    n_chips = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    effective_rows = cfg.batch_size * max(sens.beam_size, 1) // n_chips
     if model_config.n_audio_state >= 1280 and effective_rows > 48:
         logger.warning(
-            "batch_size(%d) x beam_size(%d) = %d effective decode rows may "
-            "exceed single-chip HBM for %s; consider --batch-size %d",
-            cfg.batch_size, sens.beam_size, effective_rows,
-            model_config.name, max(48 // max(sens.beam_size, 1), 1))
+            "batch_size(%d) x beam_size(%d) / %d chips = %d effective "
+            "decode rows per chip may exceed HBM for %s; consider "
+            "--batch-size %d",
+            cfg.batch_size, sens.beam_size, n_chips, effective_rows,
+            model_config.name,
+            max(48 * n_chips // max(sens.beam_size, 1), 1))
 
     tokenizer = WhisperTokenizer(model_config,
                                  find_tokenizer_files(checkpoint))

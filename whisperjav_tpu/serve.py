@@ -141,6 +141,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--language", default="ja")
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--devices", type=int, default=None,
+                   help="chips to shard over (default all; 1=single)")
     args = p.parse_args(argv)
 
     setup_logger("info")
@@ -153,7 +155,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         language=args.language, model=args.model,
         batch_size=args.batch_size)
     pipeline = build_pipeline(cfg, checkpoint=args.checkpoint,
-                              postprocessor=SRTPostProcessor())
+                              postprocessor=SRTPostProcessor(),
+                              devices=args.devices)
 
     global SERVICE
     SERVICE = TranscriptionService(pipeline, args.language)
