@@ -68,19 +68,24 @@ def test_cross_subtitle_processor():
     )
     from whisperjav_tpu.modules.srt import Subtitle
     subs = [
-        Subtitle(1, 0.0, 2.0, "今日はとても"),
-        Subtitle(2, 2.2, 3.0, "いい天気"),            # continuation
+        Subtitle(1, 0.0, 2.0, "気持ちいいですね"),
+        Subtitle(2, 2.2, 3.0, "気持ちいいですよ"),      # similar consecutive
         Subtitle(3, 5.0, 7.0, "それは違うと思う。"),
         Subtitle(4, 6.5, 7.0, "違うと思う。"),         # contained in 3
         Subtitle(5, 9.0, 10.0, "まさか"),
         Subtitle(6, 10.2, 12.0, "まさかそんなこと"),   # stutter pair
+        Subtitle(7, 14.0, 15.0, "全然関係ない台詞"),   # must NOT merge
+        Subtitle(8, 15.1, 16.0, "別の話題です"),
     ]
     out, stats = CrossSubtitleProcessor().process(subs)
     texts = [s.text for s in out]
-    assert "今日はとてもいい天気" in texts
+    assert "気持ちいいですね" in texts               # longer of the pair? equal
+    assert "気持ちいいですよ" not in texts
     assert "違うと思う。" not in texts
     assert "まさかそんなこと" in texts
     assert "まさか" not in texts
+    assert "全然関係ない台詞" in texts and "別の話題です" in texts
     assert stats["containment_removed"] == 1
     assert stats["stutters_collapsed"] == 1
+    assert stats["continuations_merged"] == 1
     assert stats["continuations_merged"] == 1

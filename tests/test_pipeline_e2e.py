@@ -98,3 +98,29 @@ def test_pipeline_empty_audio(tmp_path, tiny_pipeline):
     write_wav(p, np.zeros(SR * 3, np.float32), SR)
     result = tiny_pipeline.process(probe(p), tmp_path / "out")
     assert result.srt_path.exists()
+
+
+def test_artifacts_srt_written_e2e(tiny_pipeline, tmp_path, monkeypatch):
+    """Removed cues land in a sidecar artifacts SRT with a summary cue
+    (VERDICT item 7). A postprocessor wrapper injects a known
+    hallucination cue so removal is deterministic with random weights."""
+    from whisperjav_tpu.modules.srt import Subtitle
+
+    orig = tiny_pipeline.postprocessor.process
+
+    def with_injected_hallucination(subs, language="ja"):
+        subs = list(subs) + [
+            Subtitle(0, 0.2, 1.4, "ご視聴ありがとうございました")]
+        return orig(subs, language=language)
+
+    monkeypatch.setattr(tiny_pipeline.postprocessor, "process",
+                        with_injected_hallucination)
+    wav = _media_wav(tmp_path, "art.wav")
+    res = tiny_pipeline.process(probe(wav), tmp_path / "out")
+    art = tmp_path / "out" / "art.ja.whisperjav.artifacts.srt"
+    assert art.exists()
+    cues = load_srt(art)
+    assert any("ご視聴ありがとうございました" in c.text for c in cues)
+    assert any(c.text.startswith("[hallucination]") for c in cues)
+    assert "summary" in cues[-1].text
+    assert res.metadata["stats"]["artifacts_removed"] >= 1

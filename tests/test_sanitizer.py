@@ -131,8 +131,12 @@ class TestSubtitleSanitizer:
         assert [s.index for s in out] == list(range(1, len(out) + 1))
 
     def test_timing_monotonic(self):
-        subs = [Subtitle(1, 0.0, 5.0, "一"), Subtitle(2, 3.0, 6.0, "二")]
+        # terminal punctuation so the cross-subtitle continuation merge
+        # leaves the cues alone and only the timing pass acts
+        subs = [Subtitle(1, 0.0, 5.0, "これは文です。"),
+                Subtitle(2, 3.0, 6.0, "次の文です。")]
         out, _ = SubtitleSanitizer("ja").process(subs)
+        assert len(out) == 2
         assert out[1].start >= out[0].end
 
 
@@ -146,3 +150,32 @@ def test_postprocessor_router():
 
     out_ja, _ = pp.process([Subtitle(1, 0, 2, "映画を見ましたよ")], language="japanese")
     assert len(out_ja) == 1
+
+
+def test_cross_subtitle_wired_into_chain():
+    """CrossSubtitleProcessor runs inside the sanitizer (VERDICT item 7):
+    a cue contained in an overlapping neighbor is dropped."""
+    subs = [
+        Subtitle(1, 0.0, 3.0, "長い台詞の全体がここにある"),
+        Subtitle(2, 2.5, 4.0, "台詞の全体"),       # contained + overlapping
+        Subtitle(3, 5.0, 7.0, "別の台詞です"),
+    ]
+    out, report = SubtitleSanitizer("ja").process(subs)
+    assert report.cross_removed == 1
+    assert len(out) == 2
+
+
+def test_write_artifacts_srt(tmp_path):
+    from whisperjav_tpu.modules.sanitize.sanitizer import write_artifacts_srt
+    from whisperjav_tpu.modules.srt import load_srt
+
+    arts = [{"reason": "hallucination", "start": 1.0, "end": 2.5,
+             "text": "ご視聴ありがとうございました"},
+            {"reason": "cps", "start": 4.0, "end": 4.1, "text": "速すぎ"}]
+    path = tmp_path / "x.artifacts.srt"
+    write_artifacts_srt(path, arts, {"hallucinations_removed": 1,
+                                     "cps_violations_removed": 1})
+    cues = load_srt(path)
+    assert len(cues) == 3                       # 2 removals + summary
+    assert cues[0].text.startswith("[hallucination]")
+    assert "summary" in cues[-1].text

@@ -4,9 +4,9 @@ Role parity with reference ``whisperjav/modules/cross_subtitle_processor.py``
 (inter-subtitle merging/dedup analysis), extending the sanitizer's
 same-text dedup with:
 
-- continuation merge: a cue that ends mid-sentence (no terminal
-  punctuation) followed closely by a short continuation merges when the
-  result stays readable;
+- similar-consecutive merge: close cues whose texts clear a similarity
+  threshold merge into one (the reference's consecutive-repetition
+  merge, MERGE_SIMILARITY_THRESHOLD semantics);
 - containment dedup: a cue whose text is wholly contained in an
   overlapping neighbor is dropped (double-decode artifacts, common after
   ensemble merging);
@@ -28,6 +28,9 @@ class CrossSubtitleConfig:
     continuation_gap_s: float = 0.5
     max_merged_chars: int = 42
     containment_overlap_s: float = 0.2
+    # minimum text similarity for merging consecutive cues (the
+    # reference's MERGE_SIMILARITY_THRESHOLD role)
+    merge_similarity: float = 0.8
 
 
 class CrossSubtitleProcessor:
@@ -77,20 +80,24 @@ class CrossSubtitleProcessor:
         return out
 
     def _continuation_merge(self, subs, stats):
+        """Merge consecutive SIMILAR cues (reference semantics:
+        cross_subtitle_processor.py:36-90 merges groups whose pairwise
+        similarity clears MERGE_SIMILARITY_THRESHOLD within MAX_GAP_MS —
+        it never glues unrelated dialogue)."""
+        from difflib import SequenceMatcher
+
         cfg = self.config
         out: List[Subtitle] = []
         for s in subs:
             if (out
-                    and out[-1].text
-                    and out[-1].text[-1] not in SENTENCE_END
-                    and not out[-1].text.endswith("、")
+                    and out[-1].text and s.text
                     and s.start - out[-1].end <= cfg.continuation_gap_s
-                    and len(out[-1].text) + len(s.text)
-                    <= cfg.max_merged_chars
-                    and len(s.text) <= len(out[-1].text)):
+                    and SequenceMatcher(None, out[-1].text, s.text).ratio()
+                    >= cfg.merge_similarity):
                 stats["continuations_merged"] += 1
-                out[-1] = Subtitle(out[-1].index, out[-1].start, s.end,
-                                   out[-1].text + s.text)
+                keep = (out[-1].text if len(out[-1].text) >= len(s.text)
+                        else s.text)
+                out[-1] = Subtitle(out[-1].index, out[-1].start, s.end, keep)
             else:
                 out.append(s)
         return out

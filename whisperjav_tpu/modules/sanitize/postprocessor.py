@@ -58,4 +58,5 @@ class SRTPostProcessor:
         cleaned, report = sanitizer.process(subs)
         stats = report.to_dict()
         stats["regroup_merges"] = regrouped
+        stats["artifacts"] = report.artifacts
         return cleaned, stats

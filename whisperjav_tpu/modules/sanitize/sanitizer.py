@@ -38,6 +38,8 @@ class SanitizerReport:
     hallucinations_removed: int = 0
     repetitions_cleaned: int = 0
     duplicates_merged: int = 0
+    cross_removed: int = 0
+    cross_merged: int = 0
     cps_violations_removed: int = 0
     timing_adjusted: int = 0
     artifacts: List[Dict] = field(default_factory=list)  # removed cues
@@ -48,11 +50,14 @@ class SanitizerReport:
             "hallucinations_removed": self.hallucinations_removed,
             "repetitions_cleaned": self.repetitions_cleaned,
             "duplicates_merged": self.duplicates_merged,
+            "cross_removed": self.cross_removed,
+            "cross_merged": self.cross_merged,
             "cps_violations_removed": self.cps_violations_removed,
             "timing_adjusted": self.timing_adjusted,
             "total_removed": (self.empty_removed
                               + self.hallucinations_removed
                               + self.cps_violations_removed
+                              + self.cross_removed
                               + self.duplicates_merged),
         }
 
@@ -74,6 +79,7 @@ class SubtitleSanitizer:
         out = self._purge_empty(out, report)
         out = self._clean_content(out, report)
         out = self._dedup_sequential(out, report)
+        out = self._cross_subtitle(out, report)
         out = self._limit_cps(out, report)
         out = self._adjust_timing(out, report)
         for i, s in enumerate(out, start=1):
@@ -94,16 +100,18 @@ class SubtitleSanitizer:
         kept = []
         for s in subs:
             text, h_stats = self.hallucinations.clean(s.text)
-            if h_stats.exact_removed and not text:
+            if h_stats.total and not text:
                 report.hallucinations_removed += 1
                 report.artifacts.append({"reason": "hallucination",
-                                         "start": s.start, "text": s.text})
+                                         "start": s.start, "end": s.end,
+                                         "text": s.text})
                 continue
             if self.repetitions.is_mostly_repetition(
                     text, self.config.repetition_density):
                 report.hallucinations_removed += 1
                 report.artifacts.append({"reason": "repetition_noise",
-                                         "start": s.start, "text": s.text})
+                                         "start": s.start, "end": s.end,
+                                         "text": s.text})
                 continue
             text, r_stats = self.repetitions.clean(text)
             if r_stats.total:
@@ -127,6 +135,19 @@ class SubtitleSanitizer:
                 out.append(s)
         return out
 
+    def _cross_subtitle(self, subs, report):
+        """Inter-subtitle merge/dedup analysis between sequential dedup and
+        the CPS pass (reference order: subtitle_sanitizer.py:867-1094 runs
+        CrossSubtitleProcessor inside the content-cleaning chain)."""
+        from whisperjav_tpu.modules.sanitize.cross_subtitle import (
+            CrossSubtitleProcessor,
+        )
+        out, stats = CrossSubtitleProcessor().process(subs)
+        report.cross_removed += stats["containment_removed"]
+        report.cross_merged += (stats["continuations_merged"]
+                                + stats["stutters_collapsed"])
+        return out
+
     def _limit_cps(self, subs, report):
         """Remove abnormally fast cues (chars/sec beyond human speech;
         reference: subtitle_sanitizer.py:1094)."""
@@ -137,7 +158,7 @@ class SubtitleSanitizer:
             if cps > self.config.max_cps and dur < 1.0:
                 report.cps_violations_removed += 1
                 report.artifacts.append({"reason": "cps", "start": s.start,
-                                         "cps": round(cps, 1),
+                                         "end": s.end, "cps": round(cps, 1),
                                          "text": s.text})
             else:
                 kept.append(s)
@@ -164,3 +185,35 @@ class SubtitleSanitizer:
                 report.timing_adjusted += 1
             out.append(Subtitle(s.index, start, end, s.text))
         return out
+
+
+def write_artifacts_srt(path, artifacts: Sequence[Dict],
+                        summary: Optional[Dict] = None) -> None:
+    """Write removed cues as an artifacts SRT + a trailing summary cue.
+
+    Mirrors the reference's artifacts SRT of removals and summary
+    subtitle (subtitle_sanitizer.py:235,867,984,1094): each removed cue
+    keeps its original timing with a ``[reason]`` prefix; a final cue
+    carries the run's removal statistics so the file is self-describing
+    when opened in a player.
+    """
+    from whisperjav_tpu.modules.srt import save_srt
+
+    cues: List[Subtitle] = []
+    last_end = 0.0
+    for art in artifacts:
+        start = float(art.get("start", 0.0))
+        end = float(art.get("end", start + 1.5))
+        if end <= start:
+            end = start + 1.5
+        text = f"[{art.get('reason', 'removed')}] {art.get('text', '')}"
+        cues.append(Subtitle(0, start, end, text.strip()))
+        last_end = max(last_end, end)
+    if summary:
+        parts = [f"{k}={v}" for k, v in summary.items()
+                 if isinstance(v, (int, float)) and v]
+        cues.append(Subtitle(0, last_end + 0.5, last_end + 3.0,
+                             "[sanitizer summary] " + " ".join(parts)))
+    for i, c in enumerate(cues, start=1):
+        c.index = i
+    save_srt(path, cues)

@@ -222,11 +222,23 @@ class TranscribePipeline:
         if self.postprocessor is not None:
             subtitles, sanitize_stats = self.postprocessor.process(
                 subtitles, language=self.language)
+        artifacts = sanitize_stats.pop("artifacts", []) \
+            if isinstance(sanitize_stats, dict) else []
         stats["final_subtitles"] = len(subtitles)
         stats["sanitization"] = sanitize_stats
 
         srt_path = output_dir / f"{media.basename}.{self.language}.whisperjav.srt"
         save_srt(srt_path, subtitles)
+        if artifacts:
+            # removed-cue record next to the output (reference:
+            # subtitle_sanitizer.py artifacts SRT + summary subtitle)
+            from whisperjav_tpu.modules.sanitize.sanitizer import (
+                write_artifacts_srt,
+            )
+            art_path = output_dir / (f"{media.basename}.{self.language}"
+                                     ".whisperjav.artifacts.srt")
+            write_artifacts_srt(art_path, artifacts, sanitize_stats)
+            stats["artifacts_removed"] = len(artifacts)
 
         metadata = {
             "input": str(media.path),
