@@ -74,6 +74,22 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "alignment (one extra forward pass per batch)")
     p.add_argument("--no-sanitize", action="store_true",
                    help="skip subtitle sanitization")
+    # decoupled (qwen) stack knobs — reference main.py decoupled group
+    p.add_argument("--timestamp-mode", default=None,
+                   choices=["aligner_interpolation", "aligner_vad_fallback",
+                            "aligner_only", "vad_only"],
+                   help="how null/collapsed timestamps are resolved "
+                        "(qwen/decoupled modes)")
+    p.add_argument("--regroup-mode", default=None,
+                   choices=["standard", "sentence_only", "off"],
+                   help="reconstruction regroup flavor (qwen/decoupled)")
+    p.add_argument("--no-step-down", action="store_true",
+                   help="disable the collapsed-scene step-down retry")
+    p.add_argument("--step-down-max-group", type=float, default=None,
+                   help="tighter max group seconds for step-down retries")
+    p.add_argument("--framer", default=None,
+                   choices=["vad-grouped", "full-scene"],
+                   help="temporal framer for the decoupled stack")
     p.add_argument("--ensemble", action="store_true",
                    help="two-pass ensemble mode")
     p.add_argument("--pass1-mode", default=None,
@@ -141,8 +157,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     task = "translate" if args.subs_language == "english-direct" else "transcribe"
     enhancer_kwargs = ({"weights": args.enhancer_weights}
                        if args.enhancer_weights else None)
-    cfg = resolve_pipeline_config(
-        mode=args.mode, sensitivity=args.sensitivity,
+    # one override set for BOTH the single-pipeline path and each ensemble
+    # pass, so CLI flags are never silently dropped in ensemble runs
+    overrides = dict(
         language=args.language, task=task, model=args.model,
         batch_size=args.batch_size,
         vad_backend=args.vad_backend, scene_backend=args.scene_backend,
@@ -159,6 +176,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         word_timestamps=args.word_timestamps,
         int8_weights=args.int8_weights,
     )
+    cfg = resolve_pipeline_config(
+        mode=args.mode, sensitivity=args.sensitivity, **overrides)
 
     if args.dump_params:
         from dataclasses import asdict
@@ -207,16 +226,16 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.ensemble:
         from whisperjav_tpu.ensemble.orchestrator import EnsembleOrchestrator
+        # both passes receive the full CLI override set (beam/thresholds/
+        # prompt/enhancer/pack/scene+vad kwargs); mode/sensitivity differ
         cfg1 = resolve_pipeline_config(
             mode=args.pass1_mode or args.mode,
             sensitivity=args.pass1_sensitivity or args.sensitivity,
-            language=args.language, task=task, model=args.model,
-            batch_size=args.batch_size)
+            **overrides)
         cfg2 = resolve_pipeline_config(
             mode=args.pass2_mode or args.mode,
             sensitivity=args.pass2_sensitivity,
-            language=args.language, task=task, model=args.model,
-            batch_size=args.batch_size)
+            **overrides)
         orch = EnsembleOrchestrator(cfg1, cfg2,
                                     merge_strategy=args.merge_strategy,
                                     checkpoint=args.checkpoint,
@@ -232,23 +251,41 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if cfg.mode.name == "qwen":
         from whisperjav_tpu.modules.subtitle_pipeline.components import (
-            AssemblyTextCleaner, QwenAlignerAdapter, QwenGenerator,
-            VadGroupedFramer,
+            AssemblyTextCleaner, FullSceneFramer, QwenAlignerAdapter,
+            QwenGenerator, VadGroupedFramer,
         )
         from whisperjav_tpu.modules.subtitle_pipeline.orchestrator import (
             DecoupledSubtitlePipeline,
         )
+        from whisperjav_tpu.modules.subtitle_pipeline.types import (
+            HardeningConfig, RegroupMode, StepDownConfig, TimestampMode,
+        )
         from whisperjav_tpu.pipelines.qwen import QwenPipeline
         model_size = (cfg.model if cfg.model.startswith("qwen")
                       else "qwen3-asr-1.7b")
+        framer = (FullSceneFramer() if args.framer == "full-scene"
+                  else VadGroupedFramer(vad_backend=cfg.mode.vad_backend))
+        step_down = StepDownConfig(enabled=not args.no_step_down)
+        if args.step_down_max_group is not None:
+            step_down = StepDownConfig(
+                enabled=step_down.enabled,
+                fallback_max_group_s=args.step_down_max_group)
+        hardening = None
+        if args.timestamp_mode:
+            hardening = HardeningConfig(
+                timestamp_mode=TimestampMode(args.timestamp_mode))
         decoupled = DecoupledSubtitlePipeline(
-            framer=VadGroupedFramer(vad_backend=cfg.mode.vad_backend),
+            framer=framer,
             generator=QwenGenerator(model_size=model_size,
                                     batch_size=cfg.batch_size,
                                     checkpoint=args.checkpoint),
             cleaner=AssemblyTextCleaner(),
             aligner=QwenAlignerAdapter(),
             max_group_s=cfg.sensitivity.max_group_duration_s,
+            step_down=step_down,
+            hardening=hardening,
+            regroup_mode=(RegroupMode(args.regroup_mode)
+                          if args.regroup_mode else RegroupMode.STANDARD),
         )
         pipeline = QwenPipeline(decoupled,
                                 scene_backend=cfg.mode.scene_backend,
