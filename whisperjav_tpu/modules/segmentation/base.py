@@ -168,19 +168,14 @@ def create_segmenter(backend: str = "energy", **kwargs) -> SpeechSegmenter:
         )
         return EnergySpeechSegmenter(**kwargs)
     if backend in ("ten", "ten-jax"):
-        # TEN-class frame VAD: same model family as silero-jax at finer
-        # frame resolution with the reference's TEN-tuned grouping
-        # (reference: speech_segmentation/backends/ten.py:76-97)
+        # distinct TEN-class frame VAD (models/vad/ten.py) with the
+        # reference's detect→merge→pad→split-at-prob-minima→group chain
+        # (reference: speech_segmentation/backends/ten.py:76-97,440-520)
         try:
-            from whisperjav_tpu.modules.segmentation.silero_jax import (
-                SileroJaxSegmenter,
+            from whisperjav_tpu.modules.segmentation.ten_jax import (
+                TenJaxSegmenter,
             )
-            kwargs.setdefault("frame_s", 0.016)   # hop 256 @16 kHz
-            kwargs.setdefault("min_speech_duration_ms", 120.0)
-            kwargs.setdefault("min_silence_duration_ms", 250.0)
-            seg = SileroJaxSegmenter(**kwargs)
-            seg.name = "ten-jax"
-            return seg
+            return TenJaxSegmenter(**kwargs)
         except ImportError as e:
             logger.warning("ten-jax backend unavailable (%s)", e)
     if backend in ("silero", "silero-jax", "silero-v3", "silero-v4"):
