@@ -15,6 +15,7 @@ emit EOT early.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,8 +23,8 @@ import numpy as np
 
 
 BASELINE_RTF = 15.0          # CUDA faster-whisper large-v2 on RTX 4090
-MODEL = "large-v2"
-BATCH = 48
+MODEL = os.environ.get("WJAV_BENCH_MODEL", "large-v2")
+BATCH = int(os.environ.get("WJAV_BENCH_BATCH", "48"))
 DECODE_TOKENS = 128          # representative tokens per 30 s JA window
 TIMED_BATCHES = 5
 

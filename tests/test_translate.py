@@ -101,3 +101,67 @@ def test_identity_provider_offline(tmp_path):
     out = translate_srt(p, provider="identity")
     subs = load_srt(out)
     assert len(subs) == 2   # identity echoes the numbered source lines
+
+
+class TestOllamaManager:
+    def _mgr(self, monkeypatch, tags=None, show_ctx=8192):
+        from whisperjav_tpu.translate import ollama_manager as om
+
+        mgr = om.OllamaManager("http://test:11434")
+
+        def fake_get(path, timeout=5.0):
+            if path == "/api/tags":
+                if tags is None:
+                    raise OSError("connection refused")
+                return {"models": [{"name": n} for n in tags]}
+            raise AssertionError(path)
+
+        def fake_post(path, payload, timeout=30.0):
+            if path == "/api/show":
+                return {"model_info": {"llama.context_length": show_ctx}}
+            raise AssertionError(path)
+
+        monkeypatch.setattr(mgr, "_get", fake_get)
+        monkeypatch.setattr(mgr, "_post", fake_post)
+        return mgr
+
+    def test_ensure_ready_computes_batch(self, monkeypatch):
+        mgr = self._mgr(monkeypatch, tags=["gemma2:2b"], show_ctx=4096)
+        ready = mgr.ensure_ready(model="gemma2:2b", auto_start=False)
+        assert ready["model"] == "gemma2:2b"
+        assert ready["num_ctx"] == 4096
+        assert 8 <= ready["batch_size"] <= 96
+        assert not ready["server_started"]
+
+    def test_missing_model_raises(self, monkeypatch):
+        from whisperjav_tpu.translate.ollama_manager import (
+            ModelNotAvailableError,
+        )
+        mgr = self._mgr(monkeypatch, tags=["other:1b"])
+        with pytest.raises(ModelNotAvailableError):
+            mgr.ensure_ready(model="gemma3:12b", auto_start=False)
+
+    def test_not_running_raises_without_autostart(self, monkeypatch):
+        from whisperjav_tpu.translate.ollama_manager import (
+            OllamaNotRunningError,
+        )
+        mgr = self._mgr(monkeypatch, tags=None)
+        with pytest.raises(OllamaNotRunningError):
+            mgr.ensure_ready(model="x", auto_start=False)
+
+    def test_vram_ladder(self):
+        from whisperjav_tpu.translate.ollama_manager import OllamaManager
+        mgr = OllamaManager("http://test:11434")
+        assert mgr.recommend_model(20.0).name == "qwen2.5:32b"
+        assert mgr.recommend_model(9.0).name == "gemma2:9b"
+        assert mgr.recommend_model(0.0).quality == "basic"
+
+
+def test_instruction_content_tones():
+    from whisperjav_tpu.translate.instructions import get_instruction_content
+    std = get_instruction_content("standard", "German")
+    assert "German" in std and "numbered" in std
+    porn = get_instruction_content("pornify", "English")
+    assert porn != std and "English" in porn
+    # unknown tone degrades to standard
+    assert "numbered" in get_instruction_content("nope", "English")

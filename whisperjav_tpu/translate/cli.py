@@ -20,6 +20,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--model", default=None)
     p.add_argument("--target-language", default="English")
     p.add_argument("--base-url", default=None)
+    p.add_argument("--tone", default="standard",
+                   choices=["standard", "pornify"],
+                   help="instruction set flavor")
+    p.add_argument("--no-auto-start", action="store_true",
+                   help="do not auto-start a local ollama server")
     args = p.parse_args(argv)
 
     from whisperjav_tpu.translate.service import translate_srt
@@ -27,7 +32,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         Path(args.input), provider=args.provider, model=args.model,
         target_language=args.target_language,
         output_path=Path(args.output) if args.output else None,
-        base_url=args.base_url)
+        base_url=args.base_url, tone=args.tone,
+        auto_start_ollama=not args.no_auto_start)
     print(out)
     return 0
 

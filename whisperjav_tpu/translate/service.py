@@ -22,14 +22,12 @@ from whisperjav_tpu.modules.srt import Subtitle, load_srt, save_srt
 from whisperjav_tpu.translate.providers import (
     ProviderConfig, get_api_key, max_batch_lines, resolve_provider,
 )
+from whisperjav_tpu.translate.instructions import get_instruction_content
 from whisperjav_tpu.utils.logger import logger
 
-_INSTRUCTIONS = (
-    "Translate the following numbered Japanese subtitles to {target}. "
-    "Keep the numbering exactly; output one line per number in the form "
-    "'N: translation'. Preserve tone and register; do not merge or split "
-    "lines."
-)
+# numbered-line response protocol appended to every instruction set
+_PROTOCOL = ("\nOutput one line per number in the exact form "
+             "'N: translation'.")
 
 
 @dataclass
@@ -152,21 +150,41 @@ def translate_srt(
     target_language: str = "English",
     output_path: Optional[Path] = None,
     base_url: Optional[str] = None,
+    tone: str = "standard",
+    auto_start_ollama: bool = True,
     call_fn: Optional[Callable] = None,   # injection point for tests
 ) -> Path:
     """Translate an SRT file batch-by-batch with resume; returns output path.
 
     Untranslatable batches (network/provider failure) keep source text —
-    the run always produces a complete SRT.
+    the run always produces a complete SRT. The ollama provider runs
+    through OllamaManager (server auto-start, VRAM-based model pick,
+    context-window-derived batch size — reference:
+    translate/ollama_manager.py, translate/core.py:7-30).
     """
     srt_path = Path(srt_path)
     cfg = resolve_provider(provider, base_url=base_url, model=model)
     model = model or cfg.default_model
+    batch_override: Optional[int] = None
+    if cfg.api_style == "ollama" and call_fn is None:
+        from whisperjav_tpu.translate.ollama_manager import OllamaManager
+        mgr = OllamaManager(base_url=cfg.base_url)
+        ready = mgr.ensure_ready(model=model if model != "auto" else None,
+                                 auto_start=auto_start_ollama)
+        model = ready["model"]
+        batch_override = ready["batch_size"]
+        cfg = resolve_provider(provider, base_url=ready["base_url"],
+                               model=model)
+        logger.info("ollama ready: %s (num_ctx=%d, batch=%d%s)",
+                    model, ready["num_ctx"], ready["batch_size"],
+                    ", server auto-started"
+                    if ready["server_started"] else "")
     subs = load_srt(srt_path)
     project = TranslationProject.load_or_new(srt_path, provider, model,
                                              target_language)
-    batch_size = max_batch_lines(cfg)
+    batch_size = batch_override or max_batch_lines(cfg)
     call = call_fn or (lambda prompt: _call_provider(cfg, prompt, model))
+    instructions = get_instruction_content(tone, target_language)
 
     pending = [s for s in subs if str(s.index) not in project.translated]
     logger.info("translating %d/%d cues via %s (%s), batch=%d",
@@ -176,8 +194,7 @@ def translate_srt(
         batch = pending[i:i + batch_size]
         numbered = "\n".join(
             f"{s.index}: {s.text.replace(chr(10), ' ')}" for s in batch)
-        prompt = (_INSTRUCTIONS.format(target=target_language)
-                  + "\n---\n" + numbered)
+        prompt = instructions + _PROTOCOL + "\n---\n" + numbered
         try:
             response = call(prompt)
         except Exception as e:  # noqa: BLE001 — keep remaining batches
@@ -214,4 +231,6 @@ def translate_with_config(config: Dict) -> Path:
         output_path=(Path(config["output"]) if config.get("output")
                      else None),
         base_url=config.get("base_url"),
+        tone=config.get("tone", "standard"),
+        auto_start_ollama=config.get("auto_start_ollama", True),
     )
