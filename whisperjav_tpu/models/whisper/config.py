@@ -10,7 +10,7 @@ whisperjav/modules/whisper_pro_asr.py:29); here they are native JAX.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -26,6 +26,10 @@ class WhisperConfig:
     n_text_state: int = 384
     n_text_head: int = 6
     n_text_layer: int = 4
+    # per-model word-alignment heads ((layer, head) pairs) from the
+    # checkpoint's generation_config; None → top-half-layers fallback
+    # (models/whisper/word_align.py)
+    alignment_heads: Optional[Tuple[Tuple[int, int], ...]] = None
 
     # --- special token ids (multilingual vocab; +1 for large-v3/turbo) ---
     @property

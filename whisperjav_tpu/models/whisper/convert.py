@@ -117,10 +117,20 @@ def load_pretrained(model_name_or_path: str, dtype=np.float32):
     Returns (config, params). Requires the checkpoint to be available
     locally — there is no network egress in the build environment.
     """
+    import dataclasses
+
     import transformers
 
     hf = transformers.WhisperForConditionalGeneration.from_pretrained(
         model_name_or_path)
     config = config_from_hf(hf.config)
+    # per-model word-alignment heads ship in the checkpoint's generation
+    # config (the data openai-whisper encodes as _ALIGNMENT_HEADS blobs);
+    # word_align.py uses them instead of the top-half-layers fallback
+    heads = getattr(hf.generation_config, "alignment_heads", None)
+    if heads:
+        config = dataclasses.replace(
+            config,
+            alignment_heads=tuple((int(l), int(h)) for l, h in heads))
     params = params_from_hf_state_dict(hf.model.state_dict(), config, dtype)
     return config, params

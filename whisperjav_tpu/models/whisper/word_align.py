@@ -34,9 +34,20 @@ FRAME_S = 0.02
 
 
 def default_head_mask(config: WhisperConfig) -> np.ndarray:
-    """(L, H) float mask: top half of decoder layers, all heads."""
+    """(L, H) float mask over alignment heads.
+
+    Uses the checkpoint's published per-model head table when the config
+    carries one (convert.load_pretrained reads generation_config.
+    alignment_heads); otherwise the standard fallback — every head in
+    the top half of decoder layers."""
     mask = np.zeros((config.n_text_layer, config.n_text_head), np.float32)
-    mask[config.n_text_layer // 2:, :] = 1.0
+    if config.alignment_heads:
+        for layer, head in config.alignment_heads:
+            if 0 <= layer < config.n_text_layer \
+                    and 0 <= head < config.n_text_head:
+                mask[layer, head] = 1.0
+    if mask.sum() == 0:
+        mask[config.n_text_layer // 2:, :] = 1.0
     return mask / max(mask.sum(), 1.0)
 
 
