@@ -88,4 +88,18 @@ def test_cross_subtitle_processor():
     assert stats["containment_removed"] == 1
     assert stats["stutters_collapsed"] == 1
     assert stats["continuations_merged"] == 1
-    assert stats["continuations_merged"] == 1
+
+
+def test_high_density_cross_subtitle_analysis():
+    from whisperjav_tpu.modules.sanitize.cross_subtitle import (
+        CrossSubtitleProcessor,
+    )
+    from whisperjav_tpu.modules.srt import Subtitle
+    # "気持ちいい" saturates 6 cues; filler varies so merges don't collapse
+    subs = [Subtitle(i + 1, i * 4.0, i * 4.0 + 2.0,
+                     f"気持ちいい{'そこ' * (i % 3 + 1)}ですか{i}")
+            for i in range(6)]
+    _, stats = CrossSubtitleProcessor().process(subs)
+    recs = stats["high_density_phrases"]
+    assert recs and any("気持" in r["phrase"] for r in recs)
+    assert all(len(r["affected"]) > 3 for r in recs)

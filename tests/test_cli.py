@@ -238,3 +238,30 @@ def test_decoupled_flags_round_trip(tiny_loader, tmp_path, monkeypatch):
     assert dp.step_down.enabled is False
     assert dp.step_down.fallback_max_group_s == 2.5
     assert type(dp.framer).__name__ == "FullSceneFramer"
+
+
+def test_per_backend_kv_args(tiny_loader, tmp_path, monkeypatch):
+    """--vad-arg/--scene-arg KEY=VALUE pairs reach the pipeline config
+    with type coercion (reference factory param schemas)."""
+    import whisperjav_tpu.pipelines.factory as factory
+
+    seen = {}
+    orig = factory.build_pipeline
+
+    def spy(cfg, **kw):
+        seen["cfg"] = cfg
+        return orig(cfg, **kw)
+
+    monkeypatch.setattr(factory, "build_pipeline", spy)
+    import whisperjav_tpu.cli as cli_mod
+    wav = _wav(tmp_path, "kv.wav", seconds=3.0)
+    rc = cli_mod.main([str(wav), "--mode", "faster",
+                       "--vad-arg", "min_silence_duration_ms=200",
+                       "--vad-arg", "some_flag=true",
+                       "--scene-arg", "max_scene_s=120.5",
+                       "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    cfg = seen["cfg"]
+    assert cfg.vad_kwargs["min_silence_duration_ms"] == 200
+    assert cfg.vad_kwargs["some_flag"] is True
+    assert cfg.scene_kwargs["max_scene_s"] == 120.5

@@ -62,6 +62,16 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--no-speech-threshold", type=float, default=None)
     p.add_argument("--repetition-penalty", type=float, default=None)
     p.add_argument("--vad-threshold", type=float, default=None)
+    p.add_argument("--vad-arg", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="per-backend VAD parameter (repeatable), e.g. "
+                        "--vad-arg min_silence_duration_ms=200")
+    p.add_argument("--scene-arg", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="per-backend scene-detection parameter (repeatable)")
+    p.add_argument("--enhancer-arg", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="per-backend enhancement parameter (repeatable)")
     p.add_argument("--max-group-duration", type=float, default=None,
                    help="max seconds of speech per decode window")
     p.add_argument("--no-pack", action="store_true",
@@ -141,6 +151,31 @@ def _version_string() -> str:
     return f"whisperjav-tpu {__version__}"
 
 
+def _parse_kv_args(pairs: List[str], flag: str) -> dict:
+    """KEY=VALUE list → dict with int/float/bool coercion (the role of the
+    reference factory's per-backend param schemas + type-coercion gate,
+    speech_segmentation/factory.py:90-160)."""
+    out = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise SystemExit(f"{flag} expects KEY=VALUE, got {pair!r}")
+        key, value = pair.split("=", 1)
+        v: object = value
+        low = value.lower()
+        if low in ("true", "false"):
+            v = low == "true"
+        else:
+            try:
+                v = int(value)
+            except ValueError:
+                try:
+                    v = float(value)
+                except ValueError:
+                    pass
+        out[key.strip().replace("-", "_")] = v
+    return out
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_arguments(argv)
 
@@ -159,10 +194,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                        if args.enhancer_weights else None)
     # one override set for BOTH the single-pipeline path and each ensemble
     # pass, so CLI flags are never silently dropped in ensemble runs
+    vad_kwargs = _parse_kv_args(args.vad_arg, "--vad-arg") or None
+    scene_kwargs = _parse_kv_args(args.scene_arg, "--scene-arg") or None
+    extra_enh = _parse_kv_args(args.enhancer_arg, "--enhancer-arg")
+    if extra_enh:
+        enhancer_kwargs = {**(enhancer_kwargs or {}), **extra_enh}
     overrides = dict(
         language=args.language, task=task, model=args.model,
         batch_size=args.batch_size,
         vad_backend=args.vad_backend, scene_backend=args.scene_backend,
+        vad_kwargs=vad_kwargs, scene_kwargs=scene_kwargs,
         enhancer_backend=args.enhancer, enhancer_kwargs=enhancer_kwargs,
         beam_size=args.beam_size,
         logprob_threshold=args.logprob_threshold,

@@ -40,13 +40,57 @@ class CrossSubtitleProcessor:
     def process(self, subs: Sequence[Subtitle]) -> Tuple[List[Subtitle], Dict]:
         out = [Subtitle(s.index, s.start, s.end, s.text) for s in subs]
         stats = {"containment_removed": 0, "continuations_merged": 0,
-                 "stutters_collapsed": 0}
+                 "stutters_collapsed": 0, "high_density_phrases": []}
         out = self._containment_dedup(out, stats)
         out = self._stutter_collapse(out, stats)
         out = self._continuation_merge(out, stats)
+        stats["high_density_phrases"] = self._high_density_analysis(out)
         for i, s in enumerate(out, start=1):
             s.index = i
         return out, stats
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _high_density_analysis(subs: Sequence[Subtitle]) -> List[Dict]:
+        """Flag phrases saturating the transcript (reference:
+        cross_subtitle_processor.py:94-135 — words + 2-grams counted
+        across all cues; a phrase with ≥5 occurrences, >20% word density
+        and >3 affected cues is reported as a cross-subtitle repetition
+        symptom). Analysis only — records feed diagnostics, not edits."""
+        import re
+        from collections import Counter
+
+        if len(subs) < 3:
+            return []
+        all_text = "".join(s.text for s in subs)
+        if len(all_text) < 50:
+            return []
+        token_re = re.compile(r"[぀-ゟ]+|[゠-ヿ]+|[一-鿿々ヶ]+")
+        counts: Counter = Counter()
+        total_words = 0
+        for s in subs:
+            words = token_re.findall(s.text)
+            total_words += len(words)
+            for w in words:
+                if len(w) >= 2:
+                    counts[w] += 1
+            for i in range(len(words) - 1):
+                gram = words[i] + words[i + 1]
+                if len(gram) >= 3:
+                    counts[gram] += 1
+        records: List[Dict] = []
+        for phrase, count in counts.most_common(3):
+            if count < 5 or len(phrase) < 2:
+                continue
+            density = count / max(total_words, 1)
+            if density <= 0.2:
+                continue
+            affected = [s.index for s in subs if phrase in s.text]
+            if len(affected) > 3:
+                records.append({"phrase": phrase, "occurrences": count,
+                                "density": round(density, 3),
+                                "affected": affected})
+        return records
 
     # ------------------------------------------------------------------
     def _containment_dedup(self, subs, stats):

@@ -43,6 +43,8 @@ class SanitizerReport:
     cps_violations_removed: int = 0
     timing_adjusted: int = 0
     artifacts: List[Dict] = field(default_factory=list)  # removed cues
+    # cross-subtitle high-density phrase analysis (diagnostics)
+    high_density_phrases: List[Dict] = field(default_factory=list)
 
     def to_dict(self) -> Dict:
         return {
@@ -54,6 +56,7 @@ class SanitizerReport:
             "cross_merged": self.cross_merged,
             "cps_violations_removed": self.cps_violations_removed,
             "timing_adjusted": self.timing_adjusted,
+            "high_density_phrases": self.high_density_phrases,
             "total_removed": (self.empty_removed
                               + self.hallucinations_removed
                               + self.cps_violations_removed
@@ -146,6 +149,7 @@ class SubtitleSanitizer:
         report.cross_removed += stats["containment_removed"]
         report.cross_merged += (stats["continuations_merged"]
                                 + stats["stutters_collapsed"])
+        report.high_density_phrases = stats.get("high_density_phrases", [])
         return out
 
     def _limit_cps(self, subs, report):
