@@ -205,3 +205,51 @@ class _FakeGenerator:
     def generate_batch(self, clips, sr):
         return [TranscriptionResult(i, "こんにちは世界です")
                 for i in range(len(clips))]
+
+
+def test_regroup_jav_full_algebra():
+    """REGROUP_JAV pass sequence: punct split, gap split, fragment merge,
+    comma split when long, char cap, duration cap (reference:
+    reconstruction.py:62-104)."""
+    from whisperjav_tpu.modules.subtitle_pipeline.reconstruction import (
+        RegroupConfig, regroup_words,
+    )
+    from whisperjav_tpu.modules.subtitle_pipeline.types import (
+        RegroupMode, WordTimestamp,
+    )
+
+    def w(t0, t1, text):
+        return WordTimestamp(text, t0, t1)
+
+    words = (
+        # sentence 1 ends with 。 → split
+        [w(0.0, 0.4, "これは"), w(0.4, 0.8, "文です。")]
+        # fragment within 1.5s → merged with next words
+        + [w(1.0, 1.2, "で")]
+        + [w(1.3, 1.8, "続きます")]
+        # 2s gap → gap split
+        + [w(3.9, 4.3, "次の"), w(4.3, 4.8, "話")]
+    )
+    cues = regroup_words(words, RegroupMode.STANDARD)
+    texts = [c.text for c in cues]
+    assert texts[0] == "これは文です。"
+    assert "で続きます" in texts[1]            # fragment merged
+    assert texts[-1] == "次の話"               # gap split
+
+    # comma split only when > 50 chars
+    long_words = []
+    t = 0.0
+    for i in range(12):
+        seg = "ながいことばが" + ("つづく" if i % 3 else "つづき、")
+        long_words.append(w(t, t + 0.5, seg))
+        t += 0.5
+    cues = regroup_words(long_words, RegroupMode.SENTENCE_ONLY)
+    assert len(cues) >= 2                      # comma/char caps split it
+    assert all(len(c.text) <= 80 for c in cues)
+
+    # duration cap 8s
+    slow = [w(i * 3.0, i * 3.0 + 2.9, f"ことば{i}") for i in range(5)]
+    cues = regroup_words(slow, RegroupMode.STANDARD,
+                         RegroupConfig(gap_split_s=10.0, merge_gap_s=0.0))
+    assert all(c.duration <= 8.0 + 3.0 for c in cues)
+    assert len(cues) >= 2
