@@ -265,3 +265,179 @@ def test_per_backend_kv_args(tiny_loader, tmp_path, monkeypatch):
     assert cfg.vad_kwargs["min_silence_duration_ms"] == 200
     assert cfg.vad_kwargs["some_flag"] is True
     assert cfg.scene_kwargs["max_scene_s"] == 120.5
+
+
+def test_signatures_added_by_default(tmp_path, tiny_loader):
+    """Technical signature cue appended, credit cue prepended (reference:
+    main.py:698-770 add_signatures_to_srt)."""
+    from whisperjav_tpu.modules.srt import load_srt
+    wav = _wav(tmp_path, "sig.wav")
+    out = tmp_path / "out"
+    # --no-sanitize: random-init weights can produce cues the sanitizer
+    # removes entirely; this test targets the signature step only
+    rc = cli.main([str(wav), "--mode", "faster", "--model", "tiny",
+                   "--no-sanitize", "--credit", "Produced by TEST",
+                   "--output-dir", str(out)])
+    assert rc == 0
+    subs = load_srt(out / "sig.ja.whisperjav.srt")
+    assert subs, "expected at least the signature cues"
+    assert subs[0].text == "Produced by TEST"
+    assert subs[0].start == 0.0 and subs[0].end == pytest.approx(0.1)
+    assert "WhisperJAV-TPU" in subs[-1].text
+    assert "Faster/Balanced" in subs[-1].text
+    # --no-signature suppresses the technical cue
+    out2 = tmp_path / "out2"
+    rc = cli.main([str(wav), "--mode", "faster", "--model", "tiny",
+                   "--no-sanitize", "--no-signature",
+                   "--output-dir", str(out2)])
+    assert rc == 0
+    subs2 = load_srt(out2 / "sig.ja.whisperjav.srt")
+    assert all("WhisperJAV-TPU" not in s.text for s in subs2)
+
+
+def test_output_format_vtt_removes_srt(tmp_path, tiny_loader):
+    wav = _wav(tmp_path, "fmt.wav")
+    out = tmp_path / "out"
+    rc = cli.main([str(wav), "--mode", "faster", "--model", "tiny",
+                   "--output-format", "vtt", "--output-dir", str(out)])
+    assert rc == 0
+    assert not (out / "fmt.ja.whisperjav.srt").exists()
+    assert (out / "fmt.ja.whisperjav.vtt").exists()
+
+
+def test_keep_temp_writes_raw_srt(tmp_path, tiny_loader):
+    wav = _wav(tmp_path, "kt.wav")
+    out = tmp_path / "out"
+    rc = cli.main([str(wav), "--mode", "faster", "--model", "tiny",
+                   "--keep-temp", "--output-dir", str(out)])
+    assert rc == 0
+    assert (out / "kt.ja.whisperjav.raw.srt").exists()
+
+
+def test_dot_overrides_reach_config(tmp_path, tiny_loader, monkeypatch):
+    import whisperjav_tpu.pipelines.factory as factory
+    seen = {}
+    real = factory.build_pipeline
+
+    def spy(cfg, **kw):
+        seen["cfg"] = cfg
+        return real(cfg, **kw)
+
+    monkeypatch.setattr(cli, "parse_arguments", cli.parse_arguments)
+    monkeypatch.setattr(
+        "whisperjav_tpu.pipelines.factory.build_pipeline", spy)
+    wav = _wav(tmp_path, "ov.wav")
+    rc = cli.main([str(wav), "--mode", "faster", "--model", "tiny",
+                   "--overrides", "sensitivity.beam_size=4",
+                   "--overrides", "mode.vad_backend=none",
+                   "--overrides", "batch_size=2",
+                   "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    cfg = seen["cfg"]
+    assert cfg.sensitivity.beam_size == 4
+    assert cfg.mode.vad_backend == "none"
+    assert cfg.batch_size % 2 == 0  # may be padded up to the mesh multiple
+
+
+def test_dot_overrides_unknown_key_raises():
+    from whisperjav_tpu.config.presets import (
+        apply_dot_overrides, resolve_pipeline_config,
+    )
+    cfg = resolve_pipeline_config()
+    with pytest.raises(ValueError):
+        apply_dot_overrides(cfg, {"sensitivity.not_a_field": 1})
+    with pytest.raises(ValueError):
+        apply_dot_overrides(cfg, {"nope": 1})
+
+
+def test_speech_pad_ms_maps_to_vad_kwargs(tmp_path, tiny_loader, monkeypatch):
+    seen = {}
+    import whisperjav_tpu.pipelines.factory as factory
+    real = factory.build_pipeline
+
+    def spy(cfg, **kw):
+        seen["cfg"] = cfg
+        return real(cfg, **kw)
+
+    monkeypatch.setattr(
+        "whisperjav_tpu.pipelines.factory.build_pipeline", spy)
+    wav = _wav(tmp_path, "pad.wav")
+    rc = cli.main([str(wav), "--mode", "faster", "--model", "tiny",
+                   "--speech-pad-ms", "400",
+                   "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    assert seen["cfg"].vad_kwargs["pad_start_s"] == pytest.approx(0.4)
+    assert seen["cfg"].vad_kwargs["pad_end_s"] == pytest.approx(0.4)
+
+
+def test_reference_alias_flags_parse():
+    """Reference spellings map onto the native destinations."""
+    args = cli.parse_arguments(
+        ["x.wav", "--speech-segmenter", "whisperseg",
+         "--scene-detection-method", "semantic",
+         "--initial-prompt", "こんにちは", "--log-level", "debug",
+         "--speech-enhancer", "dsp"])
+    assert args.vad_backend == "whisperseg"
+    assert args.scene_backend == "semantic"
+    assert args.prompt == "こんにちは"
+    assert args.verbosity == "debug"
+    assert args.enhancer == "dsp"
+    args = cli.parse_arguments(["x.wav", "--no-vad", "--task", "translate",
+                                "--no-progress", "--keep-temp",
+                                "--condition-on-previous-text", "false"])
+    assert args.no_vad and args.task == "translate"
+
+
+def test_hf_flags_reach_transformers_config(tmp_path, tiny_loader,
+                                            monkeypatch):
+    seen = {}
+    import whisperjav_tpu.pipelines.factory as factory
+    real = factory.build_pipeline
+
+    def spy(cfg, **kw):
+        seen["cfg"] = cfg
+        seen["checkpoint"] = kw.get("checkpoint")
+        return real(cfg, **kw)
+
+    monkeypatch.setattr(
+        "whisperjav_tpu.pipelines.factory.build_pipeline", spy)
+    wav = _wav(tmp_path, "hf.wav")
+    rc = cli.main([str(wav), "--mode", "transformers", "--model", "tiny",
+                   "--hf-chunk-length", "20", "--hf-stride", "4",
+                   "--hf-batch-size", "4", "--hf-temperature", "0.3",
+                   "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    cfg = seen["cfg"]
+    assert cfg.chunk_s == 20.0
+    assert cfg.chunk_overlap_s == 4.0
+    assert cfg.sensitivity.temperatures == (0.3,)
+
+
+def test_ensemble_per_pass_flags(tiny_loader, tmp_path, monkeypatch):
+    """--pass1-/--pass2- deep overrides configure each pass independently."""
+    from whisperjav_tpu.ensemble import orchestrator as orch_mod
+    seen = {}
+    real_init = orch_mod.EnsembleOrchestrator.__init__
+
+    def spy_init(self, pass1_cfg, pass2_cfg, **kw):
+        seen["cfg1"], seen["cfg2"] = pass1_cfg, pass2_cfg
+        real_init(self, pass1_cfg, pass2_cfg, **kw)
+
+    monkeypatch.setattr(orch_mod.EnsembleOrchestrator, "__init__", spy_init)
+    wav = _wav(tmp_path, "pp.wav")
+    rc = cli.main([str(wav), "--ensemble", "--mode", "faster",
+                   "--model", "tiny",
+                   "--pass1-speech-segmenter", "energy",
+                   "--pass1-vad-threshold", "0.5",
+                   "--pass2-scene-detector", "none",
+                   "--pass2-overrides", "sensitivity.beam_size=4",
+                   "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    assert seen["cfg1"].mode.vad_backend == "energy"
+    assert seen["cfg1"].sensitivity.vad_threshold == 0.5
+    assert seen["cfg2"].mode.scene_backend == "none"
+    assert seen["cfg2"].sensitivity.beam_size == 4
+    # pass-2 specifics never leak into pass 1 and vice versa
+    assert seen["cfg2"].sensitivity.vad_threshold != 0.5 or \
+        seen["cfg2"].sensitivity.name == "aggressive"
+    assert seen["cfg1"].sensitivity.beam_size != 4

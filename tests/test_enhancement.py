@@ -112,3 +112,45 @@ def test_zipnet_param_count():
     params = zipnet.init_params(jax.random.PRNGKey(0), width=48)
     count = zipnet.param_count(params)
     assert 1_000_000 < count < 4_000_000   # ZipEnhancer class (~2 M)
+
+
+def test_enhance_for_vad_keeps_raw_asr_track():
+    """Dual-track (--enhance-for-vad): the enhanced audio drives VAD only;
+    decode windows slice the ORIGINAL samples (reference: main.py:551,
+    1056-1057 enhance_for_vad pipeline kwarg)."""
+    import numpy as np
+    from whisperjav_tpu.pipelines.transcribe import TranscribePipeline
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(6 * sr) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)
+             + 0.05 * rng.standard_normal(6 * sr)).astype(np.float32)
+
+    class _Eng:  # collect_windows never touches the engine
+        pass
+
+    def windows_for(enhance_for_vad):
+        p = TranscribePipeline(
+            _Eng(), scene_backend="none", vad_backend="energy",
+            enhancer_backend="dsp", enhance_for_vad=enhance_for_vad,
+            pack=False)
+        return p.collect_windows(audio.copy(), sr)[0]
+
+    dual = windows_for(True)
+    assert dual, "expected at least one window"
+    for w in dual:
+        a = int(round(w.abs_start * sr))
+        np.testing.assert_array_equal(
+            w.audio[: int(w.duration * sr)],
+            audio[a: a + int(w.duration * sr)])
+
+    # sanity: the in-place (non-dual) path DOES alter the decoded samples
+    inplace = windows_for(False)
+    changed = any(
+        not np.array_equal(
+            w.audio[: int(w.duration * sr)],
+            audio[int(round(w.abs_start * sr)):
+                  int(round(w.abs_start * sr)) + int(w.duration * sr)])
+        for w in inplace)
+    assert changed

@@ -179,3 +179,49 @@ def test_write_artifacts_srt(tmp_path):
     assert len(cues) == 3                       # 2 removals + summary
     assert cues[0].text.startswith("[hallucination]")
     assert "summary" in cues[-1].text
+
+
+class TestContentAwareTiming:
+    """Reference: modules/timing_adjuster.py:44-200 — retiming conditions."""
+
+    def test_hallucination_duration_retimed_to_reading_speed(self):
+        from whisperjav_tpu.modules.sanitize.sanitizer import SubtitleSanitizer
+        subs = [Subtitle(1, 0.0, 19.0, "短い台詞です。")]   # 19 s for 7 chars
+        out, report = SubtitleSanitizer("ja").process(subs)
+        assert len(out) == 1
+        s = out[0]
+        assert s.end == 19.0                       # end is the fixed anchor
+        assert s.duration == pytest.approx(1.0, abs=0.2)  # 7 chars / 7 cps
+        assert report.timing_adjusted >= 1
+
+    def test_merged_duplicate_is_retimed(self):
+        from whisperjav_tpu.modules.sanitize.sanitizer import SubtitleSanitizer
+        subs = [Subtitle(1, 8.0, 9.0, "次の台詞。"),
+                Subtitle(2, 9.2, 12.0, "次の台詞。")]      # merges into cue 1
+        out, report = SubtitleSanitizer("ja").process(subs)
+        assert len(out) == 1
+        assert report.duplicates_merged == 1
+        # merged cue duration moved >0.25 s with short text → condition (c)
+        assert out[0].end == 12.0
+        assert out[0].duration < 4.0
+
+    def test_untouched_cue_keeps_model_timestamps(self):
+        from whisperjav_tpu.modules.sanitize.sanitizer import SubtitleSanitizer
+        subs = [Subtitle(1, 1.0, 3.5, "普通の台詞がここにあります。")]
+        out, _ = SubtitleSanitizer("ja").process(subs)
+        assert (out[0].start, out[0].end) == (1.0, 3.5)
+
+    def test_slow_cps_short_text_removed(self):
+        from whisperjav_tpu.modules.sanitize.sanitizer import SubtitleSanitizer
+        subs = [Subtitle(1, 0.0, 5.0, "息子")]    # 2 chars / 5 s = 0.4 CPS
+        out, report = SubtitleSanitizer("ja").process(subs)
+        assert out == []
+        assert report.cps_violations_removed == 1
+        assert "abnormally_slow_cps" in report.artifacts[0]["reason"]
+
+    def test_fast_cps_removed_regardless_of_duration(self):
+        from whisperjav_tpu.modules.sanitize.sanitizer import SubtitleSanitizer
+        text = "あ" * 40                           # 40 chars in 1.2 s = 33 CPS
+        subs = [Subtitle(1, 0.0, 1.2, text)]
+        out, report = SubtitleSanitizer("ja").process(subs)
+        assert all(s.text != text for s in out)

@@ -97,3 +97,61 @@ class TestJapanesePostProcessor:
                 Subtitle(2, 1.2, 2.0, "次の話")]
         out = JapanesePostProcessor().process(subs)
         assert len(out) == 2
+
+
+class TestJapaneseDeepPasses:
+    """Reference: japanese_postprocessor.py passes 1/2/2.5/6."""
+
+    def test_pure_filler_cue_dropped(self):
+        subs = [Subtitle(1, 0.0, 0.5, "えっと"),
+                Subtitle(2, 1.0, 3.0, "本題に入りますよ。")]
+        out = JapanesePostProcessor().process(subs)
+        assert [s.text for s in out] == ["本題に入りますよ。"]
+
+    def test_leading_filler_stripped(self):
+        subs = [Subtitle(1, 0.0, 3.0, "あのー、今日は晴れですね。")]
+        out = JapanesePostProcessor().process(subs)
+        assert out[0].text == "今日は晴れですね。"
+
+    def test_expressive_emotion_protected(self):
+        # ああ is an expressive interjection, NOT backchannel
+        subs = [Subtitle(1, 0.0, 1.0, "ああ"),
+                Subtitle(2, 2.0, 4.0, "気持ちいいですね。")]
+        out = JapanesePostProcessor("high_moan").process(subs)
+        assert any(s.text == "ああ" for s in out)
+
+    def test_unpunctuated_split_after_definite_endings(self):
+        # Qwen-style unpunctuated long text splits after です/ます forms
+        text = ("今日は友達と海に行きました明日は家族と山に登ります"
+                "それからゆっくり家に帰って休みます")
+        subs = [Subtitle(1, 0.0, 12.0, text)]
+        out = JapanesePostProcessor().process(subs)
+        assert len(out) >= 2
+        assert "".join(s.text for s in out) == text
+        assert out[0].text.endswith("ました")
+
+    def test_compound_particle_not_split(self):
+        # ですよね must never split between です and よね
+        text = "そうなんですよねだから今日は早く帰りたいと思ったんですよ"
+        subs = [Subtitle(1, 0.0, 8.0, text)]
+        out = JapanesePostProcessor().process(subs)
+        for s in out:
+            assert not s.text.startswith("よね"), s.text
+
+    def test_tiny_fragment_merged_into_previous(self):
+        subs = [Subtitle(1, 0.0, 2.0, "それでは始めます"),
+                Subtitle(2, 2.05, 2.15, "ねえ")]  # 0.1 s, 2 chars → tiny
+        out = JapanesePostProcessor().process(subs)
+        assert len(out) == 1
+        assert out[0].text == "それでは始めますねえ"
+
+    def test_no_split_inside_quotes(self):
+        text = "彼は「今日は。明日も。ずっと。」と言っていましたがどうでしょう。"
+        subs = [Subtitle(1, 0.0, 8.0, text)]
+        out = JapanesePostProcessor().process(subs)
+        joined = "".join(s.text for s in out)
+        assert joined == text
+        for s in out:
+            # any cue containing the opening quote must contain the close
+            if "「" in s.text:
+                assert "」" in s.text

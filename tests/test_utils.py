@@ -127,3 +127,41 @@ def test_resolve_checkpoint_chain(tmp_path):
     import pytest as _pytest
     with _pytest.raises(OSError):
         resolve_checkpoint("org/nope", loader=always_fail)
+
+
+class TestFullAnalytics:
+    """Reference: pipeline_analytics.py:149-465 metric families."""
+
+    def _subs(self):
+        from whisperjav_tpu.modules.srt import Subtitle
+        return [Subtitle(1, 0.0, 2.0, "こんにちは"),
+                Subtitle(2, 2.5, 4.0, "元気ですか"),
+                Subtitle(3, 50.0, 52.0, "大きな隙間の後")]
+
+    def test_scorecard_levels_and_families(self):
+        from whisperjav_tpu.modules.analytics import compute_full_analytics
+        diag = [{"frames": 10, "collapsed_frames": 1, "step_down_retries": 1,
+                 "aligned_words": 100, "null_timestamp_words": 5,
+                 "hardening_actions": 2}]
+        rep = compute_full_analytics(
+            self._subs(), 60.0, scene_spans=[(0.0, 30.0), (30.0, 60.0)],
+            scene_diagnostics=diag, speech_regions_s=20.0)
+        assert rep["scene_metrics"]["scene_count"] == 2
+        assert rep["scene_metrics"]["speech_ratio"] == pytest.approx(20 / 60, abs=1e-3)
+        assert rep["alignment_metrics"]["collapse_rate"] == pytest.approx(0.1)
+        assert rep["alignment_metrics"]["aligner_native_pct"] == 95.0
+        assert rep["timing_metrics"]["max_gap_sec"] == pytest.approx(46.0)
+        assert rep["timing_metrics"]["large_gaps"][0]["gap_sec"] == 46.0
+        names = {i["name"]: i["level"] for i in rep["scorecard"]}
+        assert names["Collapse rate"] == "YELLOW"       # 10% in [5,20)
+        assert names["Aligner native"] == "GREEN"       # 95% > 90
+        assert names["Speech ratio"] == "GREEN"         # 33%
+        assert names["Max gap"] == "YELLOW"             # 46 s in [30,60)
+        assert names["Short subs (<0.3s)"] == "GREEN"
+
+    def test_print_summary_runs(self, caplog):
+        from whisperjav_tpu.modules.analytics import (
+            compute_full_analytics, print_summary,
+        )
+        rep = compute_full_analytics(self._subs(), 60.0)
+        print_summary(rep, title="t")

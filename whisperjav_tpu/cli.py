@@ -1,10 +1,13 @@
 """``whisperjav`` command-line interface.
 
-Keeps the reference CLI's core surface (reference: whisperjav/main.py:
-155-695 — --mode, --sensitivity, --subs-language, --model, batch inputs,
---output-dir, --stats-file, skip-existing resume, VTT conversion) on top
-of the TPU pipeline. GPU-era flags that have no TPU meaning (compute
-types, VRAM controls, subprocess workers) are intentionally absent.
+Keeps the reference CLI's surface (reference: whisperjav/main.py:155-695 —
+--mode, --sensitivity, --subs-language, --model, batch inputs,
+--output-dir, --stats-file, skip-existing resume, signatures, VTT
+conversion, per-pass ensemble overrides, the --hf-*/--qwen-* groups) on
+top of the TPU pipeline. GPU-era flags that have no TPU meaning (compute
+types, VRAM controls, subprocess workers, crash tracing) are intentionally
+absent; reference aliases (--speech-segmenter, --initial-prompt,
+--log-level, …) map onto the same destinations as the native flags.
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ import json
 import sys
 import time
 from pathlib import Path
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 
 def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
@@ -40,28 +43,54 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--subs-language", default="japanese",
                    choices=["japanese", "english-direct"],
                    help="english-direct uses Whisper's translate task")
+    p.add_argument("--task", default=None,
+                   choices=["transcribe", "translate"],
+                   help="explicit task override (wins over --subs-language)")
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--temp-dir", default=None)
+    p.add_argument("--keep-temp", action="store_true",
+                   help="keep intermediate artifacts (raw pre-sanitize SRT)")
+    p.add_argument("--output-format", default=None,
+                   choices=["srt", "vtt", "both"],
+                   help="vtt converts and removes the SRT; both keeps it")
     p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--vad-backend", default=None,
-                   help="override VAD backend (energy/silero/whisperseg/none)")
-    p.add_argument("--scene-backend", default=None,
-                   help="override scene backend (energy/semantic/none)")
-    p.add_argument("--enhancer", default=None,
+    p.add_argument("--vad-backend", "--speech-segmenter", "--vad",
+                   dest="vad_backend", default=None,
+                   help="override VAD backend (energy/silero/whisperseg/"
+                        "ten/whisper-vad/none)")
+    p.add_argument("--no-vad", action="store_true",
+                   help="disable VAD (full-group decode)")
+    p.add_argument("--scene-backend", "--scene-detection-method",
+                   dest="scene_backend", default=None,
+                   help="override scene backend (energy/semantic/silero/none)")
+    p.add_argument("--enhancer", "--speech-enhancer", dest="enhancer",
+                   default=None,
                    help="speech enhancement backend "
                         "(none/dsp/zipenhancer/bs-roformer/clearvoice)")
     p.add_argument("--enhancer-weights", default=None,
                    help=".npz weights for the enhancement model")
+    p.add_argument("--enhance-for-vad", action="store_true",
+                   help="enhanced audio drives VAD only; ASR decodes the "
+                        "original track")
     # fine-grained decode/VAD overrides (reference flag-surface parity)
     p.add_argument("--beam-size", type=int, default=None)
     p.add_argument("--no-timestamps", action="store_true",
                    help="decode without timestamp tokens")
-    p.add_argument("--prompt", default=None,
+    p.add_argument("--prompt", "--initial-prompt", dest="prompt",
+                   default=None,
                    help="initial prompt text conditioning the decoder")
+    p.add_argument("--condition-on-previous-text", default=None,
+                   choices=["true", "false"],
+                   help="carry decoded text across windows; the TPU engine "
+                        "decodes windows as one independent batch, so only "
+                        "'false' (the reference presets' JAV default) is "
+                        "supported — 'true' warns and is ignored")
     p.add_argument("--logprob-threshold", type=float, default=None)
     p.add_argument("--no-speech-threshold", type=float, default=None)
     p.add_argument("--repetition-penalty", type=float, default=None)
     p.add_argument("--vad-threshold", type=float, default=None)
+    p.add_argument("--speech-pad-ms", type=float, default=None,
+                   help="context padding added around speech segments")
     p.add_argument("--vad-arg", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="per-backend VAD parameter (repeatable), e.g. "
@@ -72,6 +101,10 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--enhancer-arg", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="per-backend enhancement parameter (repeatable)")
+    p.add_argument("--overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="dot-notation config override (repeatable), e.g. "
+                        "--overrides sensitivity.beam_size=3")
     p.add_argument("--max-group-duration", type=float, default=None,
                    help="max seconds of speech per decode window")
     p.add_argument("--no-pack", action="store_true",
@@ -84,35 +117,97 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "alignment (one extra forward pass per batch)")
     p.add_argument("--no-sanitize", action="store_true",
                    help="skip subtitle sanitization")
-    # decoupled (qwen) stack knobs — reference main.py decoupled group
-    p.add_argument("--timestamp-mode", default=None,
+    # signatures (reference: main.py:698-770 add_signatures_to_srt)
+    p.add_argument("--credit", default=None,
+                   help="producer credit cue inserted at the start of the SRT")
+    p.add_argument("--no-signature", action="store_true",
+                   help="skip the technical signature cue at the end")
+    # transformers-mode (--hf-*) group (reference: main.py:478-517)
+    hf = p.add_argument_group("transformers mode (--mode transformers)")
+    hf.add_argument("--hf-model-id", default=None,
+                    help="local checkpoint dir for the chunked HF-style "
+                         "path (alias of --checkpoint in transformers mode)")
+    hf.add_argument("--hf-batch-size", type=int, default=None)
+    hf.add_argument("--hf-chunk-length", type=float, default=None,
+                    help="chunk seconds for overlapped long-form decoding")
+    hf.add_argument("--hf-stride", type=float, default=None,
+                    help="overlap seconds between adjacent chunks")
+    hf.add_argument("--hf-beam-size", type=int, default=None)
+    hf.add_argument("--hf-temperature", type=float, default=None)
+    hf.add_argument("--hf-language", default=None)
+    # decoupled (qwen) stack knobs — reference main.py qwen group
+    q = p.add_argument_group("qwen / decoupled mode (--mode qwen)")
+    q.add_argument("--timestamp-mode", "--qwen-timestamp-mode",
+                   dest="timestamp_mode", default=None,
                    choices=["aligner_interpolation", "aligner_vad_fallback",
                             "aligner_only", "vad_only"],
-                   help="how null/collapsed timestamps are resolved "
-                        "(qwen/decoupled modes)")
-    p.add_argument("--regroup-mode", default=None,
+                   help="how null/collapsed timestamps are resolved")
+    q.add_argument("--regroup-mode", "--qwen-regroup", dest="regroup_mode",
+                   default=None,
                    choices=["standard", "sentence_only", "off"],
-                   help="reconstruction regroup flavor (qwen/decoupled)")
-    p.add_argument("--no-step-down", action="store_true",
+                   help="reconstruction regroup flavor")
+    q.add_argument("--no-step-down", action="store_true",
                    help="disable the collapsed-scene step-down retry")
-    p.add_argument("--step-down-max-group", type=float, default=None,
+    q.add_argument("--step-down-max-group", "--qwen-stepdown-fallback-group",
+                   dest="step_down_max_group", type=float, default=None,
                    help="tighter max group seconds for step-down retries")
-    p.add_argument("--framer", default=None,
-                   choices=["vad-grouped", "full-scene"],
+    q.add_argument("--framer", "--qwen-framer", dest="framer", default=None,
+                   choices=["vad-grouped", "full-scene", "srt-source"],
                    help="temporal framer for the decoupled stack")
-    p.add_argument("--ensemble", action="store_true",
+    q.add_argument("--framer-srt-path", "--qwen-framer-srt-path",
+                   dest="framer_srt_path", default=None,
+                   help="existing SRT whose cue times frame the audio "
+                        "(with --framer srt-source)")
+    q.add_argument("--qwen-model-id", default=None,
+                   help="qwen model size key (e.g. qwen3-asr-1.7b)")
+    q.add_argument("--qwen-sensitivity", default=None,
+                   choices=["conservative", "balanced", "aggressive"],
+                   help="sensitivity override for qwen mode")
+    q.add_argument("--qwen-batch-size", type=int, default=None)
+    q.add_argument("--qwen-max-group-duration", type=float, default=None)
+    q.add_argument("--qwen-scene", default=None,
+                   help="scene backend for qwen mode (semantic default)")
+    q.add_argument("--qwen-segmenter", default=None,
+                   help="VAD backend for the vad-grouped framer")
+    q.add_argument("--qwen-vad-threshold", type=float, default=None)
+    q.add_argument("--qwen-repetition-penalty", type=float, default=None)
+    q.add_argument("--qwen-enhancer", default=None,
+                   help="enhancement backend for qwen mode")
+    # ensemble
+    e = p.add_argument_group("two-pass ensemble")
+    e.add_argument("--ensemble", action="store_true",
                    help="two-pass ensemble mode")
-    p.add_argument("--pass1-mode", default=None,
+    e.add_argument("--pass1-mode", default=None,
                    help="ensemble pass-1 mode (default: --mode)")
-    p.add_argument("--pass1-sensitivity", default=None)
-    p.add_argument("--pass2-mode", default=None,
+    e.add_argument("--pass1-sensitivity", default=None)
+    e.add_argument("--pass1-model", default=None)
+    e.add_argument("--pass1-vad-threshold", type=float, default=None)
+    e.add_argument("--pass1-speech-segmenter", default=None)
+    e.add_argument("--pass1-scene-detector", default=None)
+    e.add_argument("--pass1-speech-enhancer", default=None)
+    e.add_argument("--pass1-speech-pad-ms", type=float, default=None)
+    e.add_argument("--pass1-enhance-for-vad", action="store_true")
+    e.add_argument("--pass1-overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="dot-notation overrides for pass 1 only")
+    e.add_argument("--pass2-mode", default=None,
                    help="ensemble pass-2 mode (default: --mode)")
-    p.add_argument("--pass2-sensitivity", default="aggressive")
-    p.add_argument("--merge-strategy", default="smart_merge",
+    e.add_argument("--pass2-sensitivity", default="aggressive")
+    e.add_argument("--pass2-model", default=None)
+    e.add_argument("--pass2-vad-threshold", type=float, default=None)
+    e.add_argument("--pass2-speech-segmenter", default=None)
+    e.add_argument("--pass2-scene-detector", default=None)
+    e.add_argument("--pass2-speech-enhancer", default=None)
+    e.add_argument("--pass2-speech-pad-ms", type=float, default=None)
+    e.add_argument("--pass2-enhance-for-vad", action="store_true")
+    e.add_argument("--pass2-overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="dot-notation overrides for pass 2 only")
+    e.add_argument("--merge-strategy", default="smart_merge",
                    choices=["pass1_primary", "pass2_primary",
                             "pass1_overlap", "pass2_overlap",
                             "smart_merge", "full_merge", "longest"])
-    p.add_argument("--ensemble-serial", action="store_true",
+    e.add_argument("--ensemble-serial", action="store_true",
                    help="process files one at a time through both passes")
     p.add_argument("--translate", default=None, metavar="PROVIDER",
                    help="translate output SRTs after transcription "
@@ -125,17 +220,26 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "single-chip)")
     p.add_argument("--async-processing", action="store_true",
                    help="overlap host preprocessing with device decode")
+    p.add_argument("--max-workers", type=int, default=2,
+                   help="prefetch depth for --async-processing")
     p.add_argument("--skip-existing", action="store_true",
                    help="skip files whose output SRT already exists")
     p.add_argument("--make-vtt", action="store_true",
-                   help="also write a WebVTT copy")
+                   help="also write a WebVTT copy (alias of "
+                        "--output-format both)")
     p.add_argument("--stats-file", default=None,
                    help="write batch statistics JSON here")
     p.add_argument("--trace-params", default=None,
                    help="stream parameter-trace JSONL to this path")
     p.add_argument("--recursive", action="store_true")
-    p.add_argument("--verbosity", default="info",
+    p.add_argument("--verbosity", "--log-level", dest="verbosity",
+                   default="info",
                    choices=["quiet", "normal", "info", "verbose", "debug"])
+    p.add_argument("--debug", action="store_true",
+                   help="shortcut for --verbosity debug")
+    p.add_argument("--no-progress", action="store_true",
+                   help="accepted for reference-CLI compatibility; the TPU "
+                        "CLI logs progress lines rather than drawing bars")
     p.add_argument("--log-file", default=None)
     p.add_argument("--check", action="store_true",
                    help="run environment preflight checks and exit")
@@ -151,7 +255,21 @@ def _version_string() -> str:
     return f"whisperjav-tpu {__version__}"
 
 
-def _parse_kv_args(pairs: List[str], flag: str) -> dict:
+def _coerce(value: str) -> object:
+    low = value.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(value)
+    except ValueError:
+        try:
+            return float(value)
+        except ValueError:
+            return value
+
+
+def _parse_kv_args(pairs: List[str], flag: str,
+                   keep_dots: bool = False) -> dict:
     """KEY=VALUE list → dict with int/float/bool coercion (the role of the
     reference factory's per-backend param schemas + type-coercion gate,
     speech_segmentation/factory.py:90-160)."""
@@ -160,24 +278,44 @@ def _parse_kv_args(pairs: List[str], flag: str) -> dict:
         if "=" not in pair:
             raise SystemExit(f"{flag} expects KEY=VALUE, got {pair!r}")
         key, value = pair.split("=", 1)
-        v: object = value
-        low = value.lower()
-        if low in ("true", "false"):
-            v = low == "true"
-        else:
-            try:
-                v = int(value)
-            except ValueError:
-                try:
-                    v = float(value)
-                except ValueError:
-                    pass
-        out[key.strip().replace("-", "_")] = v
+        key = key.strip()
+        if not keep_dots:
+            key = key.replace("-", "_")
+        out[key] = _coerce(value)
+    return out
+
+
+def _pass_overrides(args, n: int, base: Dict) -> Dict:
+    """Per-pass ensemble overrides on top of the shared CLI override set
+    (reference: main.py pass1/pass2 flag groups, :155-695)."""
+    out = dict(base)
+    get = lambda name: getattr(args, f"pass{n}_{name}")  # noqa: E731
+    if get("model"):
+        out["model"] = get("model")
+    if get("vad_threshold") is not None:
+        out["vad_threshold"] = get("vad_threshold")
+    if get("speech_segmenter"):
+        out["vad_backend"] = get("speech_segmenter")
+    if get("scene_detector"):
+        out["scene_backend"] = get("scene_detector")
+    if get("speech_enhancer"):
+        out["enhancer_backend"] = get("speech_enhancer")
+    if get("enhance_for_vad"):
+        out["enhance_for_vad"] = True
+    if get("speech_pad_ms") is not None:
+        pad_s = get("speech_pad_ms") / 1000.0
+        out["vad_kwargs"] = {**(out.get("vad_kwargs") or {}),
+                             "pad_start_s": pad_s, "pad_end_s": pad_s}
     return out
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_arguments(argv)
+    if args.debug:
+        args.verbosity = "debug"
+    if args.make_vtt and args.output_format is None:
+        args.output_format = "both"
+    output_format = args.output_format or "srt"
 
     from whisperjav_tpu.utils.logger import setup_logger
     logger = setup_logger(args.verbosity,
@@ -188,21 +326,38 @@ def main(argv: Optional[List[str]] = None) -> int:
         ok = run_preflight_checks(verbose=True)
         return 0 if ok else 1
 
-    from whisperjav_tpu.config.presets import resolve_pipeline_config
-    task = "translate" if args.subs_language == "english-direct" else "transcribe"
+    if args.condition_on_previous_text == "true":
+        logger.warning(
+            "--condition-on-previous-text true is not supported: the TPU "
+            "engine decodes all windows as one independent batch (the "
+            "reference's JAV presets also default this off to stop "
+            "hallucination propagation); continuing without it")
+
+    from whisperjav_tpu.config.presets import (
+        apply_dot_overrides, resolve_pipeline_config,
+    )
+    task = args.task or (
+        "translate" if args.subs_language == "english-direct" else "transcribe")
     enhancer_kwargs = ({"weights": args.enhancer_weights}
                        if args.enhancer_weights else None)
     # one override set for BOTH the single-pipeline path and each ensemble
     # pass, so CLI flags are never silently dropped in ensemble runs
     vad_kwargs = _parse_kv_args(args.vad_arg, "--vad-arg") or None
+    if args.speech_pad_ms is not None:
+        pad_s = args.speech_pad_ms / 1000.0
+        vad_kwargs = {**(vad_kwargs or {}),
+                      "pad_start_s": pad_s, "pad_end_s": pad_s}
     scene_kwargs = _parse_kv_args(args.scene_arg, "--scene-arg") or None
     extra_enh = _parse_kv_args(args.enhancer_arg, "--enhancer-arg")
     if extra_enh:
         enhancer_kwargs = {**(enhancer_kwargs or {}), **extra_enh}
+    dot_overrides = _parse_kv_args(args.overrides, "--overrides",
+                                   keep_dots=True)
+    vad_backend = "none" if args.no_vad else args.vad_backend
     overrides = dict(
         language=args.language, task=task, model=args.model,
         batch_size=args.batch_size,
-        vad_backend=args.vad_backend, scene_backend=args.scene_backend,
+        vad_backend=vad_backend, scene_backend=args.scene_backend,
         vad_kwargs=vad_kwargs, scene_kwargs=scene_kwargs,
         enhancer_backend=args.enhancer, enhancer_kwargs=enhancer_kwargs,
         beam_size=args.beam_size,
@@ -216,9 +371,50 @@ def main(argv: Optional[List[str]] = None) -> int:
         pack_windows=not args.no_pack,
         word_timestamps=args.word_timestamps,
         int8_weights=args.int8_weights,
+        enhance_for_vad=args.enhance_for_vad,
+        keep_intermediates=args.keep_temp,
+        output_format=output_format,
     )
+    checkpoint = args.checkpoint
+    sensitivity = args.sensitivity
+    if args.mode == "transformers":
+        # --hf-* group maps onto the chunked long-form path
+        # (reference: main.py:478-517 --hf-batch-size/chunk/stride/…)
+        if args.hf_model_id:
+            checkpoint = checkpoint or args.hf_model_id
+        if args.hf_batch_size is not None:
+            overrides["batch_size"] = args.hf_batch_size
+        if args.hf_chunk_length is not None:
+            overrides["chunk_s"] = args.hf_chunk_length
+        if args.hf_stride is not None:
+            overrides["chunk_overlap_s"] = args.hf_stride
+        if args.hf_beam_size is not None:
+            overrides["beam_size"] = args.hf_beam_size
+        if args.hf_temperature is not None:
+            overrides["temperatures"] = (args.hf_temperature,)
+        if args.hf_language:
+            overrides["language"] = args.hf_language
+    if args.mode == "qwen":
+        if args.qwen_sensitivity:
+            sensitivity = args.qwen_sensitivity
+        if args.qwen_batch_size is not None:
+            overrides["batch_size"] = args.qwen_batch_size
+        if args.qwen_max_group_duration is not None:
+            overrides["max_group_duration_s"] = args.qwen_max_group_duration
+        if args.qwen_scene:
+            overrides["scene_backend"] = args.qwen_scene
+        if args.qwen_segmenter:
+            overrides["vad_backend"] = args.qwen_segmenter
+        if args.qwen_vad_threshold is not None:
+            overrides["vad_threshold"] = args.qwen_vad_threshold
+        if args.qwen_enhancer:
+            overrides["enhancer_backend"] = args.qwen_enhancer
+        if args.qwen_model_id:
+            overrides["model"] = args.qwen_model_id
     cfg = resolve_pipeline_config(
-        mode=args.mode, sensitivity=args.sensitivity, **overrides)
+        mode=args.mode, sensitivity=sensitivity, **overrides)
+    if dot_overrides:
+        cfg = apply_dot_overrides(cfg, dot_overrides)
 
     if args.dump_params:
         from dataclasses import asdict
@@ -226,6 +422,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             "mode": asdict(cfg.mode), "sensitivity": asdict(cfg.sensitivity),
             "language": cfg.language, "task": cfg.task, "model": cfg.model,
             "batch_size": cfg.batch_size,
+            "output_format": cfg.output_format,
         }, indent=2))
         return 0
 
@@ -265,24 +462,61 @@ def main(argv: Optional[List[str]] = None) -> int:
         from whisperjav_tpu.modules.sanitize import SRTPostProcessor
         postprocessor = SRTPostProcessor()
 
+    def _finalize_outputs(srt_path) -> None:
+        """Signatures → VTT conversion, reference post-step order
+        (main.py:1277-1338 then apply_vtt_conversion)."""
+        if srt_path is None:
+            return
+        srt_path = Path(srt_path)
+        if args.credit or not args.no_signature:
+            from whisperjav_tpu.modules.srt import add_signatures
+            add_signatures(srt_path, producer_credit=args.credit,
+                           add_technical_sig=not args.no_signature,
+                           mode=cfg.mode.name,
+                           sensitivity=cfg.sensitivity.name)
+        if args.translate:
+            from whisperjav_tpu.translate.service import translate_srt
+            translate_srt(srt_path, provider=args.translate,
+                          model=args.translate_model,
+                          target_language=args.translate_target)
+        if output_format in ("vtt", "both"):
+            from whisperjav_tpu.modules.srt import srt_to_vtt
+            srt_to_vtt(srt_path)
+            if output_format == "vtt":
+                srt_path.unlink()
+
     if args.ensemble:
         from whisperjav_tpu.ensemble.orchestrator import EnsembleOrchestrator
         # both passes receive the full CLI override set (beam/thresholds/
-        # prompt/enhancer/pack/scene+vad kwargs); mode/sensitivity differ
+        # prompt/enhancer/pack/scene+vad kwargs) plus their per-pass
+        # overrides; mode/sensitivity differ
+        ov1 = _pass_overrides(args, 1, overrides)
+        ov2 = _pass_overrides(args, 2, overrides)
         cfg1 = resolve_pipeline_config(
             mode=args.pass1_mode or args.mode,
             sensitivity=args.pass1_sensitivity or args.sensitivity,
-            **overrides)
+            **ov1)
         cfg2 = resolve_pipeline_config(
             mode=args.pass2_mode or args.mode,
             sensitivity=args.pass2_sensitivity,
-            **overrides)
+            **ov2)
+        if args.pass1_overrides:
+            cfg1 = apply_dot_overrides(cfg1, _parse_kv_args(
+                args.pass1_overrides, "--pass1-overrides", keep_dots=True))
+        if args.pass2_overrides:
+            cfg2 = apply_dot_overrides(cfg2, _parse_kv_args(
+                args.pass2_overrides, "--pass2-overrides", keep_dots=True))
+        if dot_overrides:
+            cfg1 = apply_dot_overrides(cfg1, dot_overrides)
+            cfg2 = apply_dot_overrides(cfg2, dot_overrides)
         orch = EnsembleOrchestrator(cfg1, cfg2,
                                     merge_strategy=args.merge_strategy,
-                                    checkpoint=args.checkpoint,
+                                    checkpoint=checkpoint,
                                     postprocessor=postprocessor,
                                     serial_mode=args.ensemble_serial)
         summary = orch.process_batch(media, output_dir)
+        for r in summary.get("results", []):
+            _finalize_outputs(r.get("output"))
         if args.stats_file:
             Path(args.stats_file).write_text(
                 json.dumps(summary, indent=2, default=str), encoding="utf-8")
@@ -292,8 +526,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if cfg.mode.name == "qwen":
         from whisperjav_tpu.modules.subtitle_pipeline.components import (
-            AssemblyTextCleaner, FullSceneFramer, QwenAlignerAdapter,
-            QwenGenerator, VadGroupedFramer,
+            AssemblyTextCleaner, QwenAlignerAdapter, QwenGenerator,
+            create_framer,
         )
         from whisperjav_tpu.modules.subtitle_pipeline.orchestrator import (
             DecoupledSubtitlePipeline,
@@ -304,8 +538,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         from whisperjav_tpu.pipelines.qwen import QwenPipeline
         model_size = (cfg.model if cfg.model.startswith("qwen")
                       else "qwen3-asr-1.7b")
-        framer = (FullSceneFramer() if args.framer == "full-scene"
-                  else VadGroupedFramer(vad_backend=cfg.mode.vad_backend))
+        framer_kwargs: Dict = {}
+        framer_name = args.framer or "vad-grouped"
+        if framer_name == "vad-grouped":
+            framer_kwargs["vad_backend"] = cfg.mode.vad_backend
+            if args.qwen_vad_threshold is not None:
+                framer_kwargs["threshold"] = args.qwen_vad_threshold
+            if cfg.vad_kwargs:
+                framer_kwargs.update(cfg.vad_kwargs)
+        elif framer_name == "srt-source":
+            if not args.framer_srt_path:
+                raise SystemExit(
+                    "--framer srt-source requires --framer-srt-path")
+            framer_kwargs["srt_path"] = args.framer_srt_path
+        framer = create_framer(framer_name, **framer_kwargs)
         step_down = StepDownConfig(enabled=not args.no_step_down)
         if args.step_down_max_group is not None:
             step_down = StepDownConfig(
@@ -315,11 +561,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.timestamp_mode:
             hardening = HardeningConfig(
                 timestamp_mode=TimestampMode(args.timestamp_mode))
+        gen_kwargs: Dict = {}
+        if args.qwen_repetition_penalty is not None:
+            gen_kwargs["repetition_penalty"] = args.qwen_repetition_penalty
         decoupled = DecoupledSubtitlePipeline(
             framer=framer,
             generator=QwenGenerator(model_size=model_size,
                                     batch_size=cfg.batch_size,
-                                    checkpoint=args.checkpoint),
+                                    checkpoint=checkpoint, **gen_kwargs),
             cleaner=AssemblyTextCleaner(),
             aligner=QwenAlignerAdapter(),
             max_group_s=cfg.sensitivity.max_group_duration_s,
@@ -330,20 +579,25 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         pipeline = QwenPipeline(decoupled,
                                 scene_backend=cfg.mode.scene_backend,
+                                scene_kwargs=cfg.scene_kwargs or None,
                                 enhancer_backend=cfg.enhancer_backend,
                                 language=cfg.language)
     else:
         from whisperjav_tpu.pipelines.factory import build_pipeline
-        pipeline = build_pipeline(cfg, checkpoint=args.checkpoint,
+        pipeline = build_pipeline(cfg, checkpoint=checkpoint,
                                   postprocessor=postprocessor, tracer=tracer,
                                   devices=args.devices)
 
     if args.async_processing and cfg.mode.name != "qwen":
         from whisperjav_tpu.utils.async_processor import AsyncPipelineManager
         t_start = time.time()
-        outcomes = AsyncPipelineManager(pipeline).process_files(
-            media, output_dir)
+        outcomes = AsyncPipelineManager(
+            pipeline, max_prefetch=max(args.max_workers, 1),
+        ).process_files(media, output_dir)
         failures = sum(1 for o in outcomes if not o.ok)
+        for o in outcomes:
+            if o.ok and getattr(o.result, "srt_path", None):
+                _finalize_outputs(o.result.srt_path)
         summary = {
             "files": len(media), "failures": failures,
             "wall_s": round(time.time() - t_start, 2),
@@ -364,14 +618,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     for m in media:
         try:
             result = pipeline.process(m, output_dir)
-            if args.make_vtt and result.srt_path:
-                from whisperjav_tpu.modules.srt import srt_to_vtt
-                srt_to_vtt(result.srt_path)
-            if args.translate and result.srt_path:
-                from whisperjav_tpu.translate.service import translate_srt
-                translate_srt(result.srt_path, provider=args.translate,
-                              model=args.translate_model,
-                              target_language=args.translate_target)
+            _finalize_outputs(result.srt_path)
             batch_stats.append(result.metadata)
         except Exception as e:  # keep the batch going, reference behavior
             logger.error("failed on %s: %s", m.path.name, e, exc_info=True)

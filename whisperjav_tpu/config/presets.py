@@ -120,6 +120,19 @@ class PipelineConfig:
     pack_windows: bool = True
     word_timestamps: bool = False
     int8_weights: bool = False
+    # dual-track: enhanced audio drives VAD only, ASR decodes the raw track
+    # (reference: --enhance-for-vad, main.py:551,1056-1057)
+    enhance_for_vad: bool = False
+    # keep intermediate artifacts (raw pre-sanitize SRT) for debugging
+    # (reference: --keep-temp keeps scene WAVs/raw_subs, main.py:292)
+    keep_intermediates: bool = False
+    # "srt" | "vtt" (convert + remove SRT) | "both"
+    # (reference: apply_vtt_conversion, main.py:790-808)
+    output_format: str = "srt"
+    # overlapped-chunking geometry for transformers mode
+    # (reference: --hf-chunk-length/--hf-stride, main.py:487-489)
+    chunk_s: float = 30.0
+    chunk_overlap_s: float = 5.0
 
     @property
     def model(self) -> str:
@@ -175,8 +188,43 @@ def resolve_pipeline_config(
         cfg.word_timestamps = True
     if clean.get("int8_weights"):
         cfg.int8_weights = True
+    if clean.get("enhance_for_vad"):
+        cfg.enhance_for_vad = True
+    if clean.get("keep_intermediates"):
+        cfg.keep_intermediates = True
+    if "output_format" in clean:
+        cfg.output_format = clean["output_format"]
+    if "chunk_s" in clean:
+        cfg.chunk_s = float(clean["chunk_s"])
+    if "chunk_overlap_s" in clean:
+        cfg.chunk_overlap_s = float(clean["chunk_overlap_s"])
     # fidelity mode enhances by default (reference: fidelity pipeline runs
     # the enhancement phase; balanced can opt in via --enhancer)
     if mode == "fidelity" and cfg.enhancer_backend is None:
         cfg.enhancer_backend = "zipenhancer"
+    return cfg
+
+
+def apply_dot_overrides(cfg: PipelineConfig, overrides: Dict) -> PipelineConfig:
+    """Apply dot-notation overrides onto a resolved config, e.g.
+    ``{"sensitivity.beam_size": 3, "mode.vad_backend": "whisperseg",
+    "batch_size": 16}`` (the role of the reference's ``--overrides`` /
+    ensemble dot-notation resolver, config/legacy.py:362-438).
+
+    Unknown keys raise ValueError so typos never silently no-op.
+    """
+    for dotted, value in overrides.items():
+        parts = dotted.split(".")
+        if len(parts) == 1:
+            key = parts[0]
+            if key not in PipelineConfig.__dataclass_fields__:
+                raise ValueError(f"unknown override {dotted!r}")
+            setattr(cfg, key, value)
+        elif len(parts) == 2 and parts[0] in ("sensitivity", "mode"):
+            target = getattr(cfg, parts[0])
+            if parts[1] not in type(target).__dataclass_fields__:
+                raise ValueError(f"unknown override {dotted!r}")
+            setattr(cfg, parts[0], replace(target, **{parts[1]: value}))
+        else:
+            raise ValueError(f"unknown override {dotted!r}")
     return cfg

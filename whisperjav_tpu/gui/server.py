@@ -44,6 +44,18 @@ def build_args(options: Dict) -> List[str]:
         "merge_strategy": "--merge-strategy",
         "pass1_sensitivity": "--pass1-sensitivity",
         "pass2_sensitivity": "--pass2-sensitivity",
+        "pass1_model": "--pass1-model", "pass2_model": "--pass2-model",
+        "output_format": "--output-format",
+        "credit": "--credit",
+        "beam_size": "--beam-size",
+        "vad_threshold": "--vad-threshold",
+        "speech_pad_ms": "--speech-pad-ms",
+        "prompt": "--prompt",
+        "timestamp_mode": "--timestamp-mode",
+        "regroup_mode": "--regroup-mode",
+        "framer": "--framer",
+        "devices": "--devices",
+        "task": "--task",
     }
     for key, flag in simple.items():
         val = options.get(key)
@@ -52,7 +64,13 @@ def build_args(options: Dict) -> List[str]:
     for key, flag in [("skip_existing", "--skip-existing"),
                       ("make_vtt", "--make-vtt"),
                       ("no_sanitize", "--no-sanitize"),
-                      ("ensemble", "--ensemble")]:
+                      ("ensemble", "--ensemble"),
+                      ("keep_temp", "--keep-temp"),
+                      ("enhance_for_vad", "--enhance-for-vad"),
+                      ("no_signature", "--no-signature"),
+                      ("word_timestamps", "--word-timestamps"),
+                      ("int8_weights", "--int8-weights"),
+                      ("no_vad", "--no-vad")]:
         if options.get(key):
             argv.append(flag)
     return argv

@@ -53,7 +53,7 @@ class SRTPostProcessor:
         else:
             # English chain: same phases, EN phrase DB, looser CPS
             from dataclasses import replace
-            cfg = replace(self.config, max_cps=35.0)
+            cfg = replace(self.config, max_safe_cps=35.0)
             sanitizer = SubtitleSanitizer("en", cfg)
         cleaned, report = sanitizer.process(subs)
         stats = report.to_dict()

@@ -20,16 +20,31 @@ from whisperjav_tpu.modules.sanitize.repetition import RepetitionCleaner
 from whisperjav_tpu.modules.srt import Subtitle
 
 
+# reading speed by language (reference: config/sanitization_constants.py:
+# 77-83 CrossSubtitleConstants.CHARS_PER_SECOND)
+CHARS_PER_SECOND = {"ja": 7.0, "zh": 6.0, "ko": 6.5, "en": 15.0,
+                    "default": 10.0}
+
+
 @dataclass
 class SanitizerConfig:
-    # CPS (characters/second) limits for CJK subtitles
-    max_cps: float = 25.0
+    # CPS (characters/second) limits (reference: sanitization_constants.py:
+    # 90-108 TimingConstants — MAX_SAFE_CPS removes, MIN_SAFE_CPS on short
+    # text removes, MIN_SAFE_CPS on long text retimes)
+    max_safe_cps: float = 30.0
+    min_safe_cps: float = 1.0
+    min_text_len_for_cps: int = 1
+    slow_cps_max_len: int = 4      # short-text bound for slow-CPS removal
     min_duration_s: float = 0.3
     max_duration_s: float = 12.0   # longer = hallucination suspect
     # sequential dedup: identical text within this gap merges
     dedup_gap_s: float = 1.0
     # drop lines that are mostly repetition noise
     repetition_density: float = 0.75
+    # content-aware retiming triggers (reference: timing_adjuster.py:44-117)
+    content_change_ratio: float = 0.3
+    merged_duration_delta_s: float = 0.25
+    merged_text_max_len: int = 20
 
 
 @dataclass
@@ -78,13 +93,18 @@ class SubtitleSanitizer:
                                                          SanitizerReport]:
         report = SanitizerReport()
         out = [Subtitle(s.index, s.start, s.end, s.text) for s in subs]
+        # pre-cleaning snapshot keyed by index, for the content-aware
+        # timing pass (reference: timing_adjuster.py:44-56 compares
+        # original vs modified subtitles)
+        originals = {s.index: Subtitle(s.index, s.start, s.end, s.text)
+                     for s in out}
 
         out = self._purge_empty(out, report)
         out = self._clean_content(out, report)
         out = self._dedup_sequential(out, report)
         out = self._cross_subtitle(out, report)
         out = self._limit_cps(out, report)
-        out = self._adjust_timing(out, report)
+        out = self._adjust_timing(out, report, originals)
         for i, s in enumerate(out, start=1):
             s.index = i
         return out, report
@@ -153,34 +173,85 @@ class SubtitleSanitizer:
         return out
 
     def _limit_cps(self, subs, report):
-        """Remove abnormally fast cues (chars/sec beyond human speech;
-        reference: subtitle_sanitizer.py:1094)."""
+        """Remove abnormal-CPS cues, both directions (reference:
+        subtitle_sanitizer.py:1094-1160 _remove_abnormally_fast_subs):
+        too fast (> MAX_SAFE_CPS) = hallucination squeezed into impossible
+        timing; too slow (< MIN_SAFE_CPS) on SHORT text (≤ 4 chars) =
+        hallucination label stretched over silence (息子 at 0.5 CPS)."""
+        cfg = self.config
         kept = []
         for s in subs:
             dur = max(s.duration, 1e-3)
-            cps = len(s.text.replace("\n", "")) / dur
-            if cps > self.config.max_cps and dur < 1.0:
-                report.cps_violations_removed += 1
-                report.artifacts.append({"reason": "cps", "start": s.start,
-                                         "end": s.end, "cps": round(cps, 1),
-                                         "text": s.text})
-            else:
-                kept.append(s)
+            # internal newlines excluded from the char count (reference
+            # v1.8.11 fix 3)
+            text_len = len(s.text.replace("\n", "").strip())
+            if text_len >= cfg.min_text_len_for_cps and dur > 0:
+                cps = text_len / dur
+                if cps > cfg.max_safe_cps:
+                    report.cps_violations_removed += 1
+                    report.artifacts.append(
+                        {"reason": f"abnormally_fast_cps_{cps:.1f}",
+                         "start": s.start, "end": s.end, "text": s.text})
+                    continue
+                if text_len <= cfg.slow_cps_max_len and cps < cfg.min_safe_cps:
+                    report.cps_violations_removed += 1
+                    report.artifacts.append(
+                        {"reason": f"abnormally_slow_cps_{cps:.1f}",
+                         "start": s.start, "end": s.end, "text": s.text})
+                    continue
+            kept.append(s)
         return kept
 
-    def _adjust_timing(self, subs, report):
-        """Enforce min/max durations and forward-monotonic, non-overlapping
-        times (reference: modules/timing_adjuster.py — >12 s duration is a
-        hallucination-suspect threshold)."""
+    def _adjust_timing(self, subs, report, originals=None):
+        """Content-aware timing adjustment + monotonic overlap repair.
+
+        Reference: modules/timing_adjuster.py:44-200 — a cue is RETIMED
+        (end fixed, start pulled in so duration = text_len / reading-CPS,
+        clamped to [MIN, MAX] duration) when any of:
+          (a) its text changed substantially during cleaning (>30%),
+          (c) it absorbed a merge (duration moved >0.25 s, short text),
+          (b) its duration exceeds the 12 s hallucination threshold,
+          (d) its CPS is abnormally slow on checkable-length text.
+        Untouched cues keep their model timestamps. A final monotonic
+        pass repairs overlaps introduced upstream.
+        """
         cfg = self.config
-        out: List[Subtitle] = []
+        originals = originals or {}
+        cps_rate = CHARS_PER_SECOND.get(self.language,
+                                        CHARS_PER_SECOND["default"])
+        retimed: List[Subtitle] = []
         for s in subs:
+            orig = originals.get(s.index)
+            text_len = len(s.text.replace("\n", "").strip())
+            dur = s.duration
+            reason = None
+            if orig is not None:
+                orig_len = len(orig.text.strip())
+                if orig_len > 0 and (abs(orig_len - len(s.text.strip()))
+                                     / orig_len) > cfg.content_change_ratio:
+                    reason = "substantial_content_change"
+                elif (abs(orig.duration - dur) > cfg.merged_duration_delta_s
+                        and text_len < cfg.merged_text_max_len):
+                    reason = "merged_line_duration_change"
+            if reason is None and dur > cfg.max_duration_s:
+                reason = "duration_hallucination"
+            if (reason is None and text_len >= cfg.min_text_len_for_cps
+                    and dur > 0 and text_len / dur < cfg.min_safe_cps):
+                reason = "abnormally_slow_cps"
+            if reason is not None:
+                ideal = min(max(text_len / cps_rate, cfg.min_duration_s),
+                            cfg.max_duration_s)
+                new_start = max(0.0, s.end - ideal)
+                report.timing_adjusted += 1
+                retimed.append(Subtitle(s.index, new_start, s.end, s.text))
+            else:
+                retimed.append(s)
+
+        out: List[Subtitle] = []
+        for s in retimed:
             start, end = s.start, s.end
             if end - start < cfg.min_duration_s:
                 end = start + cfg.min_duration_s
-                report.timing_adjusted += 1
-            if end - start > cfg.max_duration_s:
-                end = start + cfg.max_duration_s
                 report.timing_adjusted += 1
             if out and start < out[-1].end:
                 start = out[-1].end

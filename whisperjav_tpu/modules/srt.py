@@ -123,6 +123,42 @@ def srt_to_vtt(srt_path: Union[str, Path], vtt_path: Optional[Union[str, Path]] 
     return Path(vtt_path)
 
 
+def add_signatures(
+    srt_path: Union[str, Path],
+    producer_credit: Optional[str] = None,
+    add_technical_sig: bool = True,
+    mode: str = "balanced",
+    sensitivity: str = "balanced",
+    version: Optional[str] = None,
+) -> None:
+    """Add producer credit / technical signature cues to an SRT file.
+
+    Mirrors the reference's ``add_signatures_to_srt`` (whisperjav/
+    main.py:698-770): an optional credit cue at 0–100 ms, and a
+    "WhisperJAV <version> | Mode/Sensitivity" cue starting 500 ms after
+    the last subtitle, lasting 2 s. Failures never abort the run.
+    """
+    try:
+        path = Path(srt_path)
+        if not path.exists():
+            return
+        subs = load_srt(path)
+        if not subs:
+            return
+        if producer_credit and producer_credit.strip():
+            subs.insert(0, Subtitle(0, 0.0, 0.1, producer_credit.strip()))
+        if add_technical_sig:
+            if version is None:
+                from whisperjav_tpu.version import __version__ as version
+            sig = (f"WhisperJAV-TPU {version} | "
+                   f"{mode.capitalize()}/{sensitivity.capitalize()}")
+            start = subs[-1].end + 0.5
+            subs.append(Subtitle(0, start, start + 2.0, sig))
+        save_srt(path, subs)
+    except Exception:  # signature failure must not fail the run
+        pass
+
+
 MIN_SUBTITLE_DURATION = 0.1  # guard for non-positive durations while stitching
 
 

@@ -148,4 +148,9 @@ def build_pipeline(
         tracer=tracer,
         pack=getattr(cfg, "pack_windows", True),
         chunked=(cfg.mode.name == "transformers"),
+        chunk_s=getattr(cfg, "chunk_s", 30.0),
+        chunk_overlap_s=getattr(cfg, "chunk_overlap_s", 5.0),
+        enhance_for_vad=getattr(cfg, "enhance_for_vad", False),
+        keep_intermediates=getattr(cfg, "keep_intermediates", False),
+        output_format=getattr(cfg, "output_format", "srt"),
     )

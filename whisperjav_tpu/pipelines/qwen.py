@@ -18,7 +18,9 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from whisperjav_tpu.modules.analytics import compute_analytics
+from whisperjav_tpu.modules.analytics import (
+    compute_full_analytics, print_summary,
+)
 from whisperjav_tpu.modules.audio_io import WHISPER_SAMPLE_RATE
 from whisperjav_tpu.modules.audio_extraction import AudioExtractor
 from whisperjav_tpu.modules.media_discovery import MediaInfo
@@ -119,9 +121,15 @@ class QwenPipeline:
         # sanitizer for qwen output, qwen_pipeline.py:960-1005)
         subtitles = [s for s in subtitles if s.text.strip("…・.")]
 
-        # phase 9: analytics
-        analytics = compute_analytics(subtitles, duration)
+        # phase 9: analytics — full report with scene/alignment/timing
+        # metric families + scorecard (reference: pipeline_analytics
+        # called at qwen_pipeline.py:1056)
         diagnostics = [o.diagnostics.to_dict() for o in outputs]
+        analytics = compute_full_analytics(
+            subtitles, duration,
+            scene_spans=[(sc.start, sc.end) for sc in scenes],
+            scene_diagnostics=diagnostics)
+        print_summary(analytics, title=media.path.name)
 
         srt_path = output_dir / f"{media.basename}.{self.language}.whisperjav.srt"
         save_srt(srt_path, subtitles)

@@ -54,10 +54,13 @@ class TranscribePipeline:
         enhancer_kwargs: Optional[Dict] = None,
         postprocessor=None,          # SRTPostProcessor-compatible, optional
         tracer=None,                 # ParameterTracer-compatible, optional
-        output_format: str = "srt",
+        output_format: str = "srt",  # "srt" | "vtt" | "both"
         pack: bool = True,           # pack short groups into shared windows
         chunked: bool = False,       # overlapped fixed chunking, no VAD
+        chunk_s: float = 30.0,
         chunk_overlap_s: float = 5.0,
+        enhance_for_vad: bool = False,   # enhanced track drives VAD only
+        keep_intermediates: bool = False,  # write raw pre-sanitize SRT
     ):
         self.engine = engine
         self.scene_detector = create_scene_detector(scene_backend,
@@ -76,7 +79,10 @@ class TranscribePipeline:
         self.output_format = output_format
         self.pack = pack
         self.chunked = chunked
+        self.chunk_s = chunk_s
         self.chunk_overlap_s = chunk_overlap_s
+        self.enhance_for_vad = enhance_for_vad
+        self.keep_intermediates = keep_intermediates
 
     # ------------------------------------------------------------------
     def collect_windows(self, audio: np.ndarray,
@@ -85,6 +91,7 @@ class TranscribePipeline:
         if self.chunked:
             from whisperjav_tpu.parallel.batching import chunked_windows
             windows = chunked_windows(audio, sample_rate,
+                                      chunk_s=self.chunk_s,
                                       overlap_s=self.chunk_overlap_s)
             return windows, {"scene_backend": "chunked",
                              "windows": len(windows), "scenes": 0,
@@ -100,11 +107,21 @@ class TranscribePipeline:
             a = int(scene.start * sample_rate)
             b = int(scene.end * sample_rate)
             scene_audio = audio[a:b]
+            vad_audio = scene_audio
             if self.enhancer is not None:
                 from whisperjav_tpu.modules.enhancement import enhance_scenes
                 res = enhance_scenes(self.enhancer, [scene_audio],
                                      sample_rate)[0]
-                if res.success:
+                if res.success and self.enhance_for_vad:
+                    # dual-track (reference: --enhance-for-vad,
+                    # main.py:1056-1057 + orchestrator vad_audio_paths):
+                    # the enhanced track drives segmentation only; ASR
+                    # decodes the untouched original samples
+                    n = min(len(res.audio), b - a)
+                    vad_audio = np.concatenate(
+                        [res.audio[:n], scene_audio[n:]])
+                    enhanced_ok += 1
+                elif res.success:
                     scene_audio = res.audio
                     audio = audio.copy() if enhanced_ok == 0 else audio
                     # enhancers may not preserve length exactly; patch the
@@ -112,8 +129,9 @@ class TranscribePipeline:
                     n = min(len(scene_audio), b - a)
                     audio[a:a + n] = scene_audio[:n]
                     scene_audio = audio[a:b]
+                    vad_audio = scene_audio
                     enhanced_ok += 1
-            seg = segmenter.segment(scene_audio, sample_rate)
+            seg = segmenter.segment(vad_audio, sample_rate)
             if vad_failover_check(seg):
                 # implausibly low coverage → full-clip transcription
                 # (reference: modules/vad_failover.py)
@@ -217,6 +235,13 @@ class TranscribePipeline:
 
         subtitles, stats = self.process_audio(audio, WHISPER_SAMPLE_RATE,
                                               seed=seed)
+
+        if self.keep_intermediates:
+            # pre-sanitize snapshot (the role of the reference's kept
+            # temp raw_subs under --keep-temp, main.py:292,1411)
+            raw_path = output_dir / (f"{media.basename}.{self.language}"
+                                     ".whisperjav.raw.srt")
+            save_srt(raw_path, subtitles)
 
         sanitize_stats = {}
         if self.postprocessor is not None:
