@@ -117,6 +117,18 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "alignment (one extra forward pass per batch)")
     p.add_argument("--no-sanitize", action="store_true",
                    help="skip subtitle sanitization")
+    p.add_argument("--postprocess-preset", "--qwen-postprocess-preset",
+                   dest="postprocess_preset", default="default",
+                   choices=["default", "high_moan", "narrative"],
+                   help="Japanese regrouping preset for the post chain")
+    p.add_argument("--qwen-japanese-postprocess",
+                   dest="qwen_japanese_postprocess", action="store_true",
+                   help="deprecated parity flag: has no effect in qwen "
+                        "mode (the assembly cleaner covers it) — matches "
+                        "the reference's deprecation")
+    p.add_argument("--no-qwen-japanese-postprocess",
+                   dest="qwen_japanese_postprocess", action="store_false",
+                   default=False)
     # signatures (reference: main.py:698-770 add_signatures_to_srt)
     p.add_argument("--credit", default=None,
                    help="producer credit cue inserted at the start of the SRT")
@@ -457,10 +469,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                                 "sensitivity": cfg.sensitivity.name,
                                 "model": cfg.model})
 
+    if args.qwen_japanese_postprocess and args.mode == "qwen":
+        logger.warning(
+            "--qwen-japanese-postprocess has no effect for qwen mode "
+            "(AssemblyTextCleaner covers it) — reference deprecation, "
+            "qwen_pipeline.py:249-252")
+
     postprocessor = None
     if not args.no_sanitize:
         from whisperjav_tpu.modules.sanitize import SRTPostProcessor
-        postprocessor = SRTPostProcessor()
+        postprocessor = SRTPostProcessor(
+            regroup_preset=args.postprocess_preset)
 
     def _finalize_outputs(srt_path) -> None:
         """Signatures → VTT conversion, reference post-step order
@@ -612,17 +631,25 @@ def main(argv: Optional[List[str]] = None) -> int:
                     len(media), failures, summary["wall_s"])
         return 0 if failures == 0 else 2
 
+    from whisperjav_tpu.utils.progress import ProgressManager
+    progress = ProgressManager(
+        enabled=False if (args.no_progress or args.verbosity == "quiet")
+        else None)
+    progress.task("files", len(media))
     batch_stats = []
     failures = 0
     t_start = time.time()
     for m in media:
         try:
-            result = pipeline.process(m, output_dir)
+            with progress.suppress_external():
+                result = pipeline.process(m, output_dir)
             _finalize_outputs(result.srt_path)
             batch_stats.append(result.metadata)
         except Exception as e:  # keep the batch going, reference behavior
             logger.error("failed on %s: %s", m.path.name, e, exc_info=True)
             failures += 1
+        progress.advance("files")
+    progress.finish("files")
 
     summary = {
         "files": len(media),
