@@ -24,9 +24,11 @@ import numpy as np
 
 BASELINE_RTF = 15.0          # CUDA faster-whisper large-v2 on RTX 4090
 MODEL = os.environ.get("WJAV_BENCH_MODEL", "large-v2")
-BATCH = int(os.environ.get("WJAV_BENCH_BATCH", "48"))
+# 64 measured as the single-chip HBM sweet spot for large-v2 with int8
+# cross-KV (207x vs ~175x at 48; 80 and 96 OOM on v5e-class chips)
+BATCH = int(os.environ.get("WJAV_BENCH_BATCH", "64"))
 DECODE_TOKENS = 128          # representative tokens per 30 s JA window
-TIMED_BATCHES = 5
+TIMED_BATCHES = int(os.environ.get("WJAV_BENCH_ITERS", "8"))
 
 
 def main():

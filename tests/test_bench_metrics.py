@@ -82,3 +82,24 @@ def test_boundary_drift_and_evaluate():
     assert report.cer == 0.0
     assert report.temporal_order == 1.0
     assert report.timing_iou > 0.8
+
+
+def test_timing_offsets_signed_and_abs():
+    """Reference: bench/metrics.py:248-280 compute_timing_offsets."""
+    from whisperjav_tpu.bench.metrics import timing_offsets
+    from whisperjav_tpu.modules.srt import Subtitle
+    gt = [Subtitle(1, 1.0, 3.0, "a"), Subtitle(2, 5.0, 7.0, "b")]
+    test = [Subtitle(1, 1.2, 3.1, "a"), Subtitle(2, 4.9, 6.8, "b")]
+    off = timing_offsets(gt, test)
+    assert off["matched_pairs"] == 2
+    # signed: (+200 + -100)/2 = +50 ms start bias
+    assert off["start_offset_mean_ms"] == pytest.approx(50.0, abs=0.1)
+    assert off["start_offset_abs_mean_ms"] == pytest.approx(150.0, abs=0.1)
+    assert off["end_offset_mean_ms"] == pytest.approx(-50.0, abs=0.1)
+    assert off["end_offset_abs_mean_ms"] == pytest.approx(150.0, abs=0.1)
+
+
+def test_timing_offsets_empty():
+    from whisperjav_tpu.bench.metrics import timing_offsets
+    off = timing_offsets([], [])
+    assert off["matched_pairs"] == 0

@@ -139,6 +139,37 @@ def boundary_drift(gt: Sequence[Subtitle],
     }
 
 
+def timing_offsets(gt: Sequence[Subtitle],
+                   test: Sequence[Subtitle]) -> Dict[str, float]:
+    """Signed + absolute start/end offsets (ms) over best-IoU matched
+    pairs (reference: bench/metrics.py:248-280 compute_timing_offsets —
+    signed means reveal systematic early/late bias, absolute means
+    reveal jitter)."""
+    d_start, d_end = [], []
+    for g in gt:
+        best, best_iou = None, 0.0
+        for t in test:
+            inter = max(0.0, min(g.end, t.end) - max(g.start, t.start))
+            union = (g.end - g.start) + (t.end - t.start) - inter
+            iou = inter / union if union > 0 else 0.0
+            if iou > best_iou:
+                best, best_iou = t, iou
+        if best is not None and best_iou > 0.1:
+            d_start.append((best.start - g.start) * 1000.0)
+            d_end.append((best.end - g.end) * 1000.0)
+    if not d_start:
+        return {"start_offset_mean_ms": 0.0, "end_offset_mean_ms": 0.0,
+                "start_offset_abs_mean_ms": 0.0,
+                "end_offset_abs_mean_ms": 0.0, "matched_pairs": 0}
+    return {
+        "start_offset_mean_ms": float(np.mean(d_start)),
+        "end_offset_mean_ms": float(np.mean(d_end)),
+        "start_offset_abs_mean_ms": float(np.mean(np.abs(d_start))),
+        "end_offset_abs_mean_ms": float(np.mean(np.abs(d_end))),
+        "matched_pairs": len(d_start),
+    }
+
+
 def temporal_order_score(test: Sequence[Subtitle]) -> float:
     """Fraction of consecutive cue pairs in chronological order."""
     if len(test) < 2:
@@ -152,6 +183,7 @@ class BenchReport:
     cer: float
     timing_iou: float
     boundary: Dict[str, float]
+    offsets: Dict[str, float]
     temporal_order: float
     gt_cues: int
     test_cues: int
@@ -162,6 +194,9 @@ class BenchReport:
             "timing_iou": round(self.timing_iou, 4),
             "boundary_drift": {k: (round(v, 3) if isinstance(v, float) else v)
                                for k, v in self.boundary.items()},
+            "timing_offsets": {k: (round(v, 2) if isinstance(v, float)
+                                   else v)
+                               for k, v in self.offsets.items()},
             "temporal_order": round(self.temporal_order, 4),
             "gt_cues": self.gt_cues,
             "test_cues": self.test_cues,
@@ -175,6 +210,7 @@ def evaluate(gt: Sequence[Subtitle], test: Sequence[Subtitle]) -> BenchReport:
         cer=character_error_rate(gt_text, test_text),
         timing_iou=timing_iou(gt, test),
         boundary=boundary_drift(gt, test),
+        offsets=timing_offsets(gt, test),
         temporal_order=temporal_order_score(list(test)),
         gt_cues=len(gt),
         test_cues=len(test),

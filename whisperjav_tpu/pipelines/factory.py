@@ -98,17 +98,18 @@ def build_pipeline(
             t for t in (0.4, 0.6, 0.8, 1.0) if t > max(sens.temperatures)),
     )
     # HBM guard: cross-KV scales with batch x beams; large-v2-class models
-    # fit ~48 effective rows PER CHIP with int8 cross-KV
+    # fit ~64 effective rows PER CHIP with int8 cross-KV (measured: 64
+    # runs at 207x RT on one v5e-class chip; 80 OOMs)
     n_chips = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     effective_rows = cfg.batch_size * max(sens.beam_size, 1) // n_chips
-    if model_config.n_audio_state >= 1280 and effective_rows > 48:
+    if model_config.n_audio_state >= 1280 and effective_rows > 64:
         logger.warning(
             "batch_size(%d) x beam_size(%d) / %d chips = %d effective "
             "decode rows per chip may exceed HBM for %s; consider "
             "--batch-size %d",
             cfg.batch_size, sens.beam_size, n_chips, effective_rows,
             model_config.name,
-            max(48 * n_chips // max(sens.beam_size, 1), 1))
+            max(64 * n_chips // max(sens.beam_size, 1), 1))
 
     tokenizer = WhisperTokenizer(model_config,
                                  find_tokenizer_files(checkpoint))
