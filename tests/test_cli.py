@@ -441,3 +441,132 @@ def test_ensemble_per_pass_flags(tiny_loader, tmp_path, monkeypatch):
     assert seen["cfg2"].sensitivity.vad_threshold != 0.5 or \
         seen["cfg2"].sensitivity.name == "aggressive"
     assert seen["cfg1"].sensitivity.beam_size != 4
+
+
+def test_config_file_defaults_and_cli_precedence(tmp_path):
+    """--config JSON sets flag defaults; explicit CLI flags win
+    (reference: main.py:172)."""
+    cfgf = tmp_path / "conf.json"
+    cfgf.write_text(json.dumps({"mode": "fast", "beam-size": 3,
+                                "sensitivity": "aggressive"}))
+    args = cli.parse_arguments(["x.wav", "--config", str(cfgf)])
+    assert args.mode == "fast"
+    assert args.beam_size == 3
+    assert args.sensitivity == "aggressive"
+    args = cli.parse_arguments(["x.wav", "--config", str(cfgf),
+                                "--mode", "faster"])
+    assert args.mode == "faster"          # CLI wins
+    assert args.beam_size == 3
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"no-such-flag": 1}))
+    with pytest.raises(SystemExit):
+        cli.parse_arguments(["x.wav", "--config", str(bad)])
+
+
+def test_qwen_flag_group_round_trip(tiny_loader, tmp_path, monkeypatch):
+    """The --qwen-* audio/generation/alignment groups reach the decoupled
+    stack (reference: main.py:524-695)."""
+    import whisperjav_tpu.pipelines.qwen as qwen_mod
+
+    built = {}
+
+    class FakeQwenPipeline:
+        def __init__(self, decoupled, **kw):
+            built["decoupled"] = decoupled
+            built["kw"] = kw
+            raise SystemExit(0)
+
+    monkeypatch.setattr(qwen_mod, "QwenPipeline", FakeQwenPipeline)
+    ctxf = tmp_path / "glossary.txt"
+    ctxf.write_text("相沢みなみ\n")
+    wav = _wav(tmp_path, "qf.wav", seconds=3.0)
+    try:
+        cli.main([str(wav), "--mode", "qwen", "--model", "qwen3-asr-test",
+                  "--no-qwen-safe-chunking",
+                  "--qwen-scene-min-duration", "8",
+                  "--qwen-scene-max-duration", "30",
+                  "--qwen-timestamps", "none",
+                  "--no-qwen-assembly-cleaner",
+                  "--context", "スタジオ",
+                  "--context-file", str(ctxf),
+                  "--qwen-max-tokens", "256",
+                  "--qwen-max-tokens-per-second", "15",
+                  "--qwen-chunk-threshold", "0.8",
+                  "--qwen-vad-padding", "250",
+                  "--qwen-stepdown-initial-group", "4.5",
+                  "--step-down-attempts", "2",
+                  "--output-dir", str(tmp_path / "out")])
+    except SystemExit:
+        pass
+    dp = built["decoupled"]
+    kw = built["kw"]
+    assert kw["safe_chunking"] is False
+    assert kw["scene_min_s"] == 8
+    assert kw["scene_max_s"] == 30
+    assert type(dp.aligner).__name__ == "NullAligner"
+    assert type(dp.cleaner).__name__ == "PassthroughCleaner"
+    gen = dp.generator
+    assert "スタジオ" in gen.context and "相沢みなみ" in gen.context
+    assert gen.max_tokens == 256
+    assert gen.max_tokens_per_second == 15
+    assert dp.framer.vad_kwargs["max_gap_s"] == 0.8
+    assert dp.framer.vad_kwargs["pad_start_s"] == 0.25
+    assert dp.max_group_s == 4.5
+    assert dp.step_down.max_retries == 2
+
+
+def test_step_down_attempts_zero_disables(tiny_loader, tmp_path,
+                                          monkeypatch):
+    import whisperjav_tpu.pipelines.qwen as qwen_mod
+    built = {}
+
+    class FakeQwenPipeline:
+        def __init__(self, decoupled, **kw):
+            built["decoupled"] = decoupled
+            raise SystemExit(0)
+
+    monkeypatch.setattr(qwen_mod, "QwenPipeline", FakeQwenPipeline)
+    wav = _wav(tmp_path, "sd.wav", seconds=3.0)
+    try:
+        cli.main([str(wav), "--mode", "qwen", "--model", "qwen3-asr-test",
+                  "--step-down-attempts", "0",
+                  "--output-dir", str(tmp_path / "out")])
+    except SystemExit:
+        pass
+    assert built["decoupled"].step_down.enabled is False
+
+
+def test_pass_params_json_reach_configs(tiny_loader, tmp_path, monkeypatch):
+    """--passN-params JSON dicts act as per-pass config overrides
+    (reference: main.py:202-207 custom mode)."""
+    from whisperjav_tpu.ensemble import orchestrator as orch_mod
+    seen = {}
+    real_init = orch_mod.EnsembleOrchestrator.__init__
+
+    def spy_init(self, pass1_cfg, pass2_cfg, **kw):
+        seen["cfg1"], seen["cfg2"] = pass1_cfg, pass2_cfg
+        real_init(self, pass1_cfg, pass2_cfg, **kw)
+
+    monkeypatch.setattr(orch_mod.EnsembleOrchestrator, "__init__", spy_init)
+    wav = _wav(tmp_path, "pj.wav")
+    rc = cli.main([str(wav), "--ensemble", "--mode", "faster",
+                   "--model", "tiny",
+                   "--pass1-params",
+                   '{"sensitivity.beam_size": 2, '
+                   '"sensitivity.logprob_threshold": -0.5}',
+                   "--pass2-params", '{"sensitivity.vad_threshold": 0.11}',
+                   "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    assert seen["cfg1"].sensitivity.beam_size == 2
+    assert seen["cfg1"].sensitivity.logprob_threshold == -0.5
+    assert seen["cfg2"].sensitivity.vad_threshold == 0.11
+    assert seen["cfg2"].sensitivity.beam_size != 2
+
+
+def test_pass_pipeline_alias_parses():
+    args = cli.parse_arguments(["x.wav", "--ensemble",
+                                "--pass1-pipeline", "fast",
+                                "--pass2-pipeline", "faster"])
+    assert args.pass1_mode == "fast"
+    assert args.pass2_mode == "faster"

@@ -125,3 +125,22 @@ def test_merge_master_with_timestamps():
     assert pieces[0] == ("こんにちは", 0.0, 0.5)
     assert pieces[1][0] == "、"
     assert pieces[-1][0] == "！"
+
+
+def test_generate_with_context_prefix(qwen_model):
+    """ctx_ids insert between audio prefix and BOS (reference:
+    main.py:676-681 --context contextual biasing); generation stays
+    structurally valid and DIFFERS from the unconditioned decode."""
+    mel = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, 128, 400)).astype(np.float32))
+    ctx = jnp.asarray(
+        np.random.default_rng(3).integers(
+            0, CFG.vocab_size, (1, 7)).astype(np.int32))
+    res = generate(qwen_model, CFG, mel, max_new=10, audio_len=50,
+                   repetition_penalty=1.0, ctx_ids=ctx)
+    base = generate(qwen_model, CFG, mel, max_new=10, audio_len=50,
+                    repetition_penalty=1.0)
+    toks = np.asarray(res.tokens)
+    assert toks.shape == (2, 10)
+    assert np.isfinite(np.asarray(res.avg_logprob)).all()
+    assert not np.array_equal(toks, np.asarray(base.tokens))

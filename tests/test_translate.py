@@ -165,3 +165,121 @@ def test_instruction_content_tones():
     assert porn != std and "English" in porn
     # unknown tone degrades to standard
     assert "numbered" in get_instruction_content("nope", "English")
+
+
+# ---------------------------------------------------------------------------
+# TPU-local backend (on-accelerator LM translation)
+# ---------------------------------------------------------------------------
+
+class _FakeTok:
+    """Deterministic byte-ish tokenizer for hermetic backend tests."""
+    is_real = True
+
+    def encode(self, text):
+        return [(ord(c) % 250) + 3 for c in text][:400]
+
+    def decode(self, ids):
+        return "".join(chr((i - 3) % 94 + 33) for i in ids)
+
+
+def _tiny_lm():
+    import jax
+    from whisperjav_tpu.models.qwen.model import QwenASRConfig, init_params
+    cfg = QwenASRConfig()
+    return cfg, init_params(cfg, jax.random.PRNGKey(0))
+
+
+def test_generate_text_pad_invariance():
+    """Right-padded prompt decode is invariant to the pad amount —
+    validates the bucketing correctness argument in generate_text."""
+    import jax.numpy as jnp
+    import numpy as np
+    from whisperjav_tpu.models.qwen.model import generate_text
+    cfg, params = _tiny_lm()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, cfg.vocab_size - 1, 17).astype(np.int32)
+    outs = []
+    for pad_to in (17, 24, 40):
+        buf = np.full((1, pad_to), cfg.eos_id, np.int32)
+        buf[0, :17] = ids
+        res = generate_text(params, cfg, jnp.asarray(buf),
+                            jnp.asarray([17], jnp.int32), max_new=8)
+        outs.append(np.asarray(res.tokens)[0])
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[0], outs[2])
+
+
+def test_generate_text_matches_unpadded_prefill_logits():
+    """Prefill logits at the last real token equal an exact-length
+    forward (no stale-pad leakage)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from whisperjav_tpu.models.qwen.model import LMCache, lm_step
+    cfg, params = _tiny_lm()
+    rng = np.random.default_rng(1)
+    n = 9
+    ids = rng.integers(3, cfg.vocab_size - 1, n).astype(np.int32)
+    emb = params["tok_emb"][jnp.asarray(ids[None])]
+    cache = LMCache.zeros(cfg, 1, n, jnp.float32)
+    exact, _ = lm_step(params, cfg, emb, 0, cache)
+
+    buf = np.full((1, 16), cfg.eos_id, np.int32)
+    buf[0, :n] = ids
+    emb_p = params["tok_emb"][jnp.asarray(buf)]
+    cache = LMCache.zeros(cfg, 1, 16, jnp.float32)
+    padded, _ = lm_step(params, cfg, emb_p, 0, cache)
+    np.testing.assert_allclose(np.asarray(exact[0, n - 1]),
+                               np.asarray(padded[0, n - 1]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tpu_local_backend_call_roundtrip():
+    from whisperjav_tpu.translate.local_backend import TpuLocalBackend
+    cfg, params = _tiny_lm()
+    backend = TpuLocalBackend(params=params, cfg=cfg, tokenizer=_FakeTok(),
+                              max_new_tokens=6, prompt_bucket=64)
+    out = backend("1: こんにちは\n2: ありがとう")
+    assert isinstance(out, str)
+
+
+def test_cap_batch_size_for_context():
+    from whisperjav_tpu.translate.local_backend import (
+        cap_batch_size_for_context,
+    )
+    assert cap_batch_size_for_context(30, 8192) == 11
+    assert cap_batch_size_for_context(30, 16384) == 27
+    assert cap_batch_size_for_context(30, 64000) == 30
+    assert cap_batch_size_for_context(30, 1000) == 1
+
+
+def test_translate_srt_tpu_local_dispatch(tmp_path, monkeypatch):
+    """provider=tpu-local constructs the on-device backend and the
+    numbered protocol round-trips through it."""
+    from whisperjav_tpu.modules.srt import Subtitle, save_srt, load_srt
+    from whisperjav_tpu.translate import local_backend as lb
+    from whisperjav_tpu.translate.service import translate_srt
+
+    calls = {}
+
+    class FakeBackend:
+        def __init__(self, checkpoint=None, **kw):
+            calls["checkpoint"] = checkpoint
+
+        def __call__(self, prompt):
+            lines = [ln for ln in prompt.split("---\n", 1)[-1].split("\n")
+                     if ln.strip()]
+            return "\n".join(
+                f"{ln.split(':', 1)[0]}: EN[{ln.split(':', 1)[1].strip()}]"
+                for ln in lines)
+
+    monkeypatch.setattr(lb, "TpuLocalBackend", FakeBackend)
+    srt = tmp_path / "x.srt"
+    save_srt(srt, [Subtitle(1, 0.0, 1.0, "こんにちは"),
+                   Subtitle(2, 1.5, 2.0, "ありがとう")])
+    out = translate_srt(srt, provider="tpu-local", model="/ckpt/dir",
+                        target_language="English")
+    assert calls["checkpoint"] == "/ckpt/dir"
+    subs = load_srt(out)
+    assert subs[0].text == "EN[こんにちは]"
+    assert subs[1].text == "EN[ありがとう]"

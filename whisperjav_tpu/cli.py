@@ -27,7 +27,11 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     )
     p.add_argument("inputs", nargs="+",
                    help="media files, directories, or glob patterns")
-    p.add_argument("--mode", default="balanced",
+    p.add_argument("--config", default=None, metavar="JSON",
+                   help="JSON file of flag defaults (flag names with "
+                        "dashes or underscores); explicit CLI flags win "
+                        "(reference: main.py:172)")
+    p.add_argument("--mode", "--pipeline", dest="mode", default="balanced",
                    choices=["faster", "fast", "balanced", "fidelity",
                             "transformers", "qwen", "anime"],
                    help="pipeline mode preset")
@@ -147,6 +151,11 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     hf.add_argument("--hf-beam-size", type=int, default=None)
     hf.add_argument("--hf-temperature", type=float, default=None)
     hf.add_argument("--hf-language", default=None)
+    hf.add_argument("--hf-scene", default=None,
+                    help="scene backend for transformers mode")
+    hf.add_argument("--hf-timestamps", default=None,
+                    choices=["true", "false"],
+                    help="emit timestamp tokens in transformers mode")
     # decoupled (qwen) stack knobs — reference main.py qwen group
     q = p.add_argument_group("qwen / decoupled mode (--mode qwen)")
     q.add_argument("--timestamp-mode", "--qwen-timestamp-mode",
@@ -158,11 +167,19 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    default=None,
                    choices=["standard", "sentence_only", "off"],
                    help="reconstruction regroup flavor")
-    q.add_argument("--no-step-down", action="store_true",
+    q.add_argument("--no-step-down", "--no-qwen-stepdown",
+                   dest="no_step_down", action="store_true",
                    help="disable the collapsed-scene step-down retry")
+    q.add_argument("--qwen-stepdown", dest="no_step_down",
+                   action="store_false",
+                   help="enable step-down (the default; parity spelling)")
+    q.add_argument("--step-down-attempts", type=int, default=None,
+                   help="step-down retry attempts (0 = disabled)")
     q.add_argument("--step-down-max-group", "--qwen-stepdown-fallback-group",
                    dest="step_down_max_group", type=float, default=None,
                    help="tighter max group seconds for step-down retries")
+    q.add_argument("--qwen-stepdown-initial-group", type=float, default=None,
+                   help="tier-1 group duration (seconds) before step-down")
     q.add_argument("--framer", "--qwen-framer", dest="framer", default=None,
                    choices=["vad-grouped", "full-scene", "srt-source"],
                    help="temporal framer for the decoupled stack")
@@ -185,11 +202,72 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     q.add_argument("--qwen-repetition-penalty", type=float, default=None)
     q.add_argument("--qwen-enhancer", default=None,
                    help="enhancement backend for qwen mode")
+    q.add_argument("--qwen-enhancer-model", default=None,
+                   help=".npz weights for the qwen-mode enhancer")
+    q.add_argument("--qwen-language", default=None,
+                   help="language override for qwen mode (e.g. Japanese)")
+    q.add_argument("--qwen-max-tokens", type=int, default=None,
+                   help="hard cap on generated tokens per group")
+    q.add_argument("--qwen-max-tokens-per-second", type=float, default=None,
+                   help="dynamic token budget per audio second "
+                        "(0 = disabled)")
+    q.add_argument("--qwen-chunk-threshold", type=float, default=None,
+                   help="silence gap (seconds) that closes a VAD group")
+    q.add_argument("--qwen-vad-padding", type=int, default=None,
+                   help="VAD speech padding in ms")
+    q.add_argument("--qwen-input-mode", default="assembly",
+                   choices=["assembly", "context_aware", "vad_slicing"],
+                   help="'assembly' (default); the others are deprecated "
+                        "reference aliases of it")
+    q.add_argument("--qwen-safe-chunking", dest="qwen_safe_chunking",
+                   action="store_true", default=True,
+                   help="clamp scenes for the aligner's 180 s limit "
+                        "(default on)")
+    q.add_argument("--no-qwen-safe-chunking", dest="qwen_safe_chunking",
+                   action="store_false",
+                   help="allow arbitrarily long scenes")
+    q.add_argument("--qwen-scene-min-duration", type=float, default=None,
+                   help="minimum safe-chunked scene seconds (default 12)")
+    q.add_argument("--qwen-scene-max-duration", type=float, default=None,
+                   help="maximum safe-chunked scene seconds (default 48)")
+    q.add_argument("--qwen-timestamps", default=None,
+                   choices=["word", "none"],
+                   help="'none' skips the forced aligner entirely")
+    q.add_argument("--context", "--qwen-context", dest="context",
+                   default=None,
+                   help="context string biasing generation (speaker "
+                        "names, domain terms)")
+    q.add_argument("--context-file", "--qwen-context-file",
+                   dest="context_file", default=None,
+                   help="text file whose contents become --context")
+    q.add_argument("--generator", "--qwen-generator", dest="generator",
+                   default=None, choices=["qwen3", "anime-whisper"],
+                   help="decoupled-stack generator backend")
+    q.add_argument("--cleaner", default=None,
+                   choices=["qwen3", "assembly", "passthrough"],
+                   help="decoupled-stack text cleaner backend")
+    q.add_argument("--qwen-assembly-cleaner", dest="qwen_assembly_cleaner",
+                   action="store_true", default=True,
+                   help="pre-alignment text cleaning (default on)")
+    q.add_argument("--no-qwen-assembly-cleaner", dest="qwen_assembly_cleaner",
+                   action="store_false")
+    q.add_argument("--aligner", "--qwen-aligner", dest="aligner",
+                   default=None,
+                   help="decoupled-stack aligner backend (qwen3/none)")
+    q.add_argument("--framer-config", default=None, metavar="JSON",
+                   help="JSON kwargs for the framer backend")
+    q.add_argument("--generator-config", default=None, metavar="JSON",
+                   help="JSON kwargs for the generator backend")
+    q.add_argument("--cleaner-config", default=None, metavar="JSON",
+                   help="JSON kwargs for the cleaner backend")
+    q.add_argument("--aligner-config", default=None, metavar="JSON",
+                   help="JSON kwargs for the aligner backend")
     # ensemble
     e = p.add_argument_group("two-pass ensemble")
     e.add_argument("--ensemble", action="store_true",
                    help="two-pass ensemble mode")
-    e.add_argument("--pass1-mode", default=None,
+    e.add_argument("--pass1-mode", "--pass1-pipeline", dest="pass1_mode",
+                   default=None,
                    help="ensemble pass-1 mode (default: --mode)")
     e.add_argument("--pass1-sensitivity", default=None)
     e.add_argument("--pass1-model", default=None)
@@ -202,7 +280,17 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     e.add_argument("--pass1-overrides", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="dot-notation overrides for pass 1 only")
-    e.add_argument("--pass2-mode", default=None,
+    e.add_argument("--pass1-params", default=None, metavar="JSON",
+                   help="JSON dict of config fields for pass 1 (flat or "
+                        "dot-notation keys)")
+    e.add_argument("--pass1-hf-params", default=None, metavar="JSON",
+                   help="JSON hf params for pass 1 when its pipeline is "
+                        "transformers")
+    e.add_argument("--pass1-qwen-params", default=None, metavar="JSON",
+                   help="JSON qwen params for pass 1 when its pipeline "
+                        "is qwen")
+    e.add_argument("--pass2-mode", "--pass2-pipeline", dest="pass2_mode",
+                   default=None,
                    help="ensemble pass-2 mode (default: --mode)")
     e.add_argument("--pass2-sensitivity", default="aggressive")
     e.add_argument("--pass2-model", default=None)
@@ -215,6 +303,10 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     e.add_argument("--pass2-overrides", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="dot-notation overrides for pass 2 only")
+    e.add_argument("--pass2-params", default=None, metavar="JSON",
+                   help="JSON dict of config fields for pass 2")
+    e.add_argument("--pass2-hf-params", default=None, metavar="JSON")
+    e.add_argument("--pass2-qwen-params", default=None, metavar="JSON")
     e.add_argument("--merge-strategy", default="smart_merge",
                    choices=["pass1_primary", "pass2_primary",
                             "pass1_overlap", "pass2_overlap",
@@ -259,7 +351,38 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="print the resolved runtime config and exit")
     p.add_argument("--version", action="version",
                    version=_version_string())
+    _apply_config_file_defaults(p, argv)
     return p.parse_args(argv)
+
+
+def _apply_config_file_defaults(p: argparse.ArgumentParser,
+                                argv: Optional[List[str]]) -> None:
+    """Pre-scan for --config and install the JSON file's values as parser
+    defaults, so explicit CLI flags always win (reference: main.py:172 —
+    JSON configuration file)."""
+    av = list(sys.argv[1:] if argv is None else argv)
+    path = None
+    for i, a in enumerate(av):
+        if a == "--config" and i + 1 < len(av):
+            path = av[i + 1]
+        elif a.startswith("--config="):
+            path = a.split("=", 1)[1]
+    if not path:
+        return
+    try:
+        loaded = json.loads(Path(path).read_text(encoding="utf-8"))
+    except (OSError, json.JSONDecodeError) as e:
+        raise SystemExit(f"--config {path}: {e}")
+    if not isinstance(loaded, dict):
+        raise SystemExit(f"--config {path}: expected a JSON object")
+    known = {a.dest for a in p._actions}
+    defaults = {}
+    for key, value in loaded.items():
+        dest = key.replace("-", "_").lstrip("_")
+        if dest not in known:
+            raise SystemExit(f"--config {path}: unknown option {key!r}")
+        defaults[dest] = value
+    p.set_defaults(**defaults)
 
 
 def _version_string() -> str:
@@ -295,6 +418,19 @@ def _parse_kv_args(pairs: List[str], flag: str,
             key = key.replace("-", "_")
         out[key] = _coerce(value)
     return out
+
+
+def _json_flag(value: Optional[str], flag: str) -> Dict:
+    """Parse a JSON-dict flag value (reference: main.py:2137 error path)."""
+    if not value:
+        return {}
+    try:
+        loaded = json.loads(value)
+    except json.JSONDecodeError as e:
+        raise SystemExit(f"invalid JSON in {flag}: {e}")
+    if not isinstance(loaded, dict):
+        raise SystemExit(f"{flag} expects a JSON object")
+    return loaded
 
 
 def _pass_overrides(args, n: int, base: Dict) -> Dict:
@@ -406,6 +542,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             overrides["temperatures"] = (args.hf_temperature,)
         if args.hf_language:
             overrides["language"] = args.hf_language
+        if args.hf_scene:
+            overrides["scene_backend"] = args.hf_scene
+        if args.hf_timestamps is not None:
+            overrides["no_timestamps"] = args.hf_timestamps == "false"
     if args.mode == "qwen":
         if args.qwen_sensitivity:
             sensitivity = args.qwen_sensitivity
@@ -421,8 +561,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             overrides["vad_threshold"] = args.qwen_vad_threshold
         if args.qwen_enhancer:
             overrides["enhancer_backend"] = args.qwen_enhancer
+        if args.qwen_enhancer_model:
+            overrides["enhancer_kwargs"] = {
+                **(overrides.get("enhancer_kwargs") or {}),
+                "weights": args.qwen_enhancer_model}
         if args.qwen_model_id:
             overrides["model"] = args.qwen_model_id
+        if args.qwen_language:
+            lang_map = {"japanese": "ja", "english": "en", "chinese": "zh",
+                        "korean": "ko"}
+            overrides["language"] = lang_map.get(
+                args.qwen_language.lower(), args.qwen_language)
+        if args.qwen_input_mode in ("context_aware", "vad_slicing"):
+            logger.warning(
+                "--qwen-input-mode %s is a deprecated alias of 'assembly' "
+                "(reference: main.py:566-568); using assembly",
+                args.qwen_input_mode)
     cfg = resolve_pipeline_config(
         mode=args.mode, sensitivity=sensitivity, **overrides)
     if dot_overrides:
@@ -525,6 +679,29 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.pass2_overrides:
             cfg2 = apply_dot_overrides(cfg2, _parse_kv_args(
                 args.pass2_overrides, "--pass2-overrides", keep_dots=True))
+        # --passN-params / --passN-hf-params / --passN-qwen-params: JSON
+        # dicts of config fields (flat or dot-notation keys), the
+        # reference's "custom mode" per-pass parameterization
+        # (main.py:202-207, 2137)
+        for n, c in ((1, cfg1), (2, cfg2)):
+            merged = {}
+            merged.update(_json_flag(getattr(args, f"pass{n}_params"),
+                                     f"--pass{n}-params"))
+            mode_n = getattr(args, f"pass{n}_mode") or args.mode
+            if mode_n == "transformers":
+                merged.update(_json_flag(
+                    getattr(args, f"pass{n}_hf_params"),
+                    f"--pass{n}-hf-params"))
+            if mode_n == "qwen":
+                merged.update(_json_flag(
+                    getattr(args, f"pass{n}_qwen_params"),
+                    f"--pass{n}-qwen-params"))
+            if merged:
+                c2 = apply_dot_overrides(c, merged)
+                if n == 1:
+                    cfg1 = c2
+                else:
+                    cfg2 = c2
         if dot_overrides:
             cfg1 = apply_dot_overrides(cfg1, dot_overrides)
             cfg2 = apply_dot_overrides(cfg2, dot_overrides)
@@ -545,7 +722,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if cfg.mode.name == "qwen":
         from whisperjav_tpu.modules.subtitle_pipeline.components import (
-            AssemblyTextCleaner, QwenAlignerAdapter, QwenGenerator,
+            QwenGenerator, WhisperGenerator, create_aligner, create_cleaner,
             create_framer,
         )
         from whisperjav_tpu.modules.subtitle_pipeline.orchestrator import (
@@ -563,6 +740,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             framer_kwargs["vad_backend"] = cfg.mode.vad_backend
             if args.qwen_vad_threshold is not None:
                 framer_kwargs["threshold"] = args.qwen_vad_threshold
+            if args.qwen_chunk_threshold is not None:
+                framer_kwargs["max_gap_s"] = args.qwen_chunk_threshold
+            if args.qwen_vad_padding is not None:
+                pad_s = args.qwen_vad_padding / 1000.0
+                framer_kwargs["pad_start_s"] = pad_s
+                framer_kwargs["pad_end_s"] = pad_s
             if cfg.vad_kwargs:
                 framer_kwargs.update(cfg.vad_kwargs)
         elif framer_name == "srt-source":
@@ -570,37 +753,95 @@ def main(argv: Optional[List[str]] = None) -> int:
                 raise SystemExit(
                     "--framer srt-source requires --framer-srt-path")
             framer_kwargs["srt_path"] = args.framer_srt_path
+        framer_kwargs.update(_json_flag(args.framer_config,
+                                        "--framer-config"))
         framer = create_framer(framer_name, **framer_kwargs)
         step_down = StepDownConfig(enabled=not args.no_step_down)
+        if args.step_down_attempts is not None:
+            step_down = StepDownConfig(
+                enabled=step_down.enabled and args.step_down_attempts > 0,
+                fallback_max_group_s=step_down.fallback_max_group_s,
+                max_retries=max(args.step_down_attempts, 0))
         if args.step_down_max_group is not None:
             step_down = StepDownConfig(
                 enabled=step_down.enabled,
-                fallback_max_group_s=args.step_down_max_group)
+                fallback_max_group_s=args.step_down_max_group,
+                max_retries=step_down.max_retries)
         hardening = None
         if args.timestamp_mode:
             hardening = HardeningConfig(
                 timestamp_mode=TimestampMode(args.timestamp_mode))
+        context = args.context
+        if args.context_file:
+            try:
+                file_ctx = Path(args.context_file).read_text(
+                    encoding="utf-8").strip()
+            except OSError as e:
+                raise SystemExit(f"--context-file: {e}")
+            context = f"{context}\n{file_ctx}" if context else file_ctx
         gen_kwargs: Dict = {}
         if args.qwen_repetition_penalty is not None:
             gen_kwargs["repetition_penalty"] = args.qwen_repetition_penalty
+        if context:
+            gen_kwargs["context"] = context
+        if args.qwen_max_tokens is not None:
+            gen_kwargs["max_tokens"] = args.qwen_max_tokens
+        if args.qwen_max_tokens_per_second is not None:
+            gen_kwargs["max_tokens_per_second"] = \
+                args.qwen_max_tokens_per_second
+        gen_kwargs.update(_json_flag(args.generator_config,
+                                     "--generator-config"))
+        if args.generator == "anime-whisper":
+            # anime-whisper = a Whisper fine-tune decoded without prompts;
+            # any local Whisper checkpoint slots in (PARITY row 33)
+            import copy
+            from whisperjav_tpu.pipelines.factory import build_engine
+            wcfg = copy.copy(cfg)
+            if wcfg.model.startswith("qwen"):
+                wcfg.model = args.model or "small"
+            generator = WhisperGenerator(
+                engine=build_engine(wcfg, checkpoint=checkpoint))
+        else:
+            if "model_id" in gen_kwargs:    # reference config-key spelling
+                model_size = gen_kwargs.pop("model_id")
+            generator = QwenGenerator(model_size=model_size,
+                                      batch_size=cfg.batch_size,
+                                      checkpoint=checkpoint, **gen_kwargs)
+        cleaner_name = args.cleaner or (
+            "assembly" if args.qwen_assembly_cleaner else "passthrough")
+        cleaner = create_cleaner(cleaner_name,
+                                 **_json_flag(args.cleaner_config,
+                                              "--cleaner-config"))
+        aligner_name = args.aligner or (
+            "none" if args.qwen_timestamps == "none" else "qwen3")
+        aligner = create_aligner(aligner_name,
+                                 **_json_flag(args.aligner_config,
+                                              "--aligner-config"))
+        max_group_s = (args.qwen_stepdown_initial_group
+                       if args.qwen_stepdown_initial_group is not None
+                       else cfg.sensitivity.max_group_duration_s)
         decoupled = DecoupledSubtitlePipeline(
             framer=framer,
-            generator=QwenGenerator(model_size=model_size,
-                                    batch_size=cfg.batch_size,
-                                    checkpoint=checkpoint, **gen_kwargs),
-            cleaner=AssemblyTextCleaner(),
-            aligner=QwenAlignerAdapter(),
-            max_group_s=cfg.sensitivity.max_group_duration_s,
+            generator=generator,
+            cleaner=cleaner,
+            aligner=aligner,
+            max_group_s=max_group_s,
             step_down=step_down,
             hardening=hardening,
             regroup_mode=(RegroupMode(args.regroup_mode)
                           if args.regroup_mode else RegroupMode.STANDARD),
         )
+        qwen_pipe_kwargs: Dict = {"safe_chunking": args.qwen_safe_chunking}
+        if args.qwen_scene_min_duration is not None:
+            qwen_pipe_kwargs["scene_min_s"] = args.qwen_scene_min_duration
+        if args.qwen_scene_max_duration is not None:
+            qwen_pipe_kwargs["scene_max_s"] = args.qwen_scene_max_duration
         pipeline = QwenPipeline(decoupled,
                                 scene_backend=cfg.mode.scene_backend,
                                 scene_kwargs=cfg.scene_kwargs or None,
                                 enhancer_backend=cfg.enhancer_backend,
-                                language=cfg.language)
+                                language=cfg.language,
+                                **qwen_pipe_kwargs)
     else:
         from whisperjav_tpu.pipelines.factory import build_pipeline
         pipeline = build_pipeline(cfg, checkpoint=checkpoint,

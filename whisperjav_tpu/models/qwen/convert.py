@@ -186,3 +186,45 @@ def load_pretrained(model_name_or_path: str, dtype=np.float32):
     cfg = config_from_hf(hf.config)
     params = params_from_hf_state_dict(hf.state_dict(), cfg, dtype)
     return cfg, params
+
+
+def lm_params_from_state_dict(sd: Mapping[str, Any], cfg: QwenASRConfig,
+                              dtype=np.float32) -> Dict[str, Any]:
+    """LM-only param tree (no audio tower) from a text-only Qwen state
+    dict — the TPU local-translation backend loads instruct checkpoints
+    this way (role of the reference's llama-cpp GGUF load,
+    translate/local_backend.py)."""
+    sd = _strip_prefixes(sd)
+    if "lm_head.weight" in sd:
+        lm_head = _np(sd["lm_head.weight"]).T.astype(dtype)
+    else:
+        lm_head = _np(sd["model.embed_tokens.weight"]).T.astype(dtype)
+    return {
+        "tok_emb": _np(sd["model.embed_tokens.weight"]).astype(dtype),
+        "blocks": _stack_lm_blocks(sd, cfg, dtype),
+        "ln_f": _np(sd["model.norm.weight"]).astype(dtype),
+        "lm_head": lm_head,
+    }
+
+
+def load_lm(model_name_or_path: str, dtype=np.float32):
+    """Load a text-only Qwen-family causal LM (e.g. a local
+    Qwen2.5/Qwen3 instruct checkpoint) for on-TPU text generation.
+
+    Returns (config, params) with no ``audio`` subtree — usable with
+    :func:`whisperjav_tpu.models.qwen.model.generate_text` only.
+    """
+    import transformers
+
+    hf = transformers.AutoModelForCausalLM.from_pretrained(
+        model_name_or_path, trust_remote_code=False, local_files_only=True)
+    cfg = config_from_hf(hf.config)
+    sd = hf.state_dict()
+    probe = _strip_prefixes(sd)
+    if "model.layers.0.self_attn.q_norm.weight" not in probe:
+        raise ValueError(
+            "checkpoint lacks q/k-norm weights (Qwen2.5-style); the TPU "
+            "LM path implements the Qwen3 block — use a Qwen3-family "
+            "instruct checkpoint")
+    params = lm_params_from_state_dict(sd, cfg, dtype)
+    return cfg, params

@@ -441,21 +441,34 @@ def generate(params: Params, cfg: QwenASRConfig, mel: jax.Array,
              max_new: int, audio_len: int,
              repetition_penalty: float = 1.1,
              temperature: float = 0.0,
-             rng: Optional[jax.Array] = None) -> QwenGenResult:
-    """Transcribe mel windows: audio prefix + BOS → greedy generation.
+             rng: Optional[jax.Array] = None,
+             ctx_ids: Optional[jax.Array] = None) -> QwenGenResult:
+    """Transcribe mel windows: audio prefix [+ context] + BOS → greedy
+    generation.
 
     audio_len: number of audio embedding positions to keep as the LM
     prefix (static; ≤ cfg.audio_tokens_for(mel frames)).
+    ctx_ids: optional (1, L) or (B, L) int32 context token ids inserted
+    between the audio prefix and BOS — the contextual-biasing hook the
+    reference exposes as --context/--context-file (reference:
+    main.py:676-681; Qwen3-ASR conditions generation on a free-text
+    context prompt). Each distinct L compiles once; context is constant
+    per run.
     """
     b = mel.shape[0]
     audio_emb = encode_audio(params, cfg, mel)[:, :audio_len]
-    t_max = audio_len + 1 + max_new
+    ctx_len = 0 if ctx_ids is None else ctx_ids.shape[-1]
+    t_max = audio_len + ctx_len + 1 + max_new
     dtype = params["tok_emb"].dtype
     cache = LMCache.zeros(cfg, b, t_max, dtype)
 
     bos = jnp.full((b, 1), cfg.bos_id, jnp.int32)
-    prefix = jnp.concatenate(
-        [audio_emb, params["tok_emb"][bos].astype(audio_emb.dtype)], axis=1)
+    parts = [audio_emb]
+    if ctx_ids is not None:
+        ctx = jnp.broadcast_to(ctx_ids, (b, ctx_len))
+        parts.append(params["tok_emb"][ctx].astype(audio_emb.dtype))
+    parts.append(params["tok_emb"][bos].astype(audio_emb.dtype))
+    prefix = jnp.concatenate(parts, axis=1)
     logits, cache = lm_step(params, cfg, prefix, 0, cache)
     cur = logits[:, -1]
 
@@ -499,7 +512,7 @@ def generate(params: Params, cfg: QwenASRConfig, mel: jax.Array,
         length = s.length + jnp.where(s.finished | is_eos, 0, 1)
         tokens = jax.lax.dynamic_update_slice(s.tokens, tok[:, None],
                                               (0, s.step))
-        pos = audio_len + 1 + s.step
+        pos = audio_len + ctx_len + 1 + s.step
         emb = params["tok_emb"][tok[:, None]].astype(dtype)
         nxt, cache = lm_step(params, cfg, emb, pos, s.cache)
         return S(s.step + 1, tokens, cache, nxt[:, 0], sum_lp, length,
@@ -515,3 +528,82 @@ def token_budget(cfg: QwenASRConfig, audio_seconds: float) -> int:
     236-238)."""
     return max(cfg.min_token_budget,
                int(audio_seconds * cfg.max_tokens_per_audio_second))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new",
+                                             "repetition_penalty"))
+def generate_text(params: Params, cfg: QwenASRConfig,
+                  prompt_ids: jax.Array, prompt_len: jax.Array,
+                  max_new: int,
+                  repetition_penalty: float = 1.0,
+                  temperature: float = 0.0,
+                  rng: Optional[jax.Array] = None) -> QwenGenResult:
+    """LM-only generation (no audio tower) — the TPU local-translation
+    backend's decode loop (role of llama.cpp generation in the
+    reference's translate/local_backend.py).
+
+    prompt_ids: (1, L) RIGHT-padded prompt; prompt_len: (1,) real length.
+    Right padding is safe: the causal mask keeps pad keys out of the
+    last real token's prefill attention, and each decode step overwrites
+    the pad slot at its own position before attending to it. L should be
+    bucketed by the caller so each bucket compiles once.
+    """
+    b, L = prompt_ids.shape
+    t_max = L + max_new
+    dtype = params["tok_emb"].dtype
+    cache = LMCache.zeros(cfg, b, t_max, dtype)
+    emb = params["tok_emb"][prompt_ids].astype(dtype)
+    logits, cache = lm_step(params, cfg, emb, 0, cache)
+    cur = logits[jnp.arange(b), prompt_len - 1]
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    class S(NamedTuple):
+        step: jax.Array
+        tokens: jax.Array
+        cache: LMCache
+        cur: jax.Array
+        sum_lp: jax.Array
+        length: jax.Array
+        finished: jax.Array
+        rng: jax.Array
+
+    state = S(jnp.int32(0), jnp.full((b, max_new), cfg.eos_id, jnp.int32),
+              cache, cur, jnp.zeros((b,), jnp.float32),
+              jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.bool_), rng)
+
+    def cond(s):
+        return (s.step < max_new) & ~jnp.all(s.finished)
+
+    def body(s):
+        logits = s.cur
+        if repetition_penalty != 1.0:
+            seen = jnp.zeros((b, cfg.vocab_size), jnp.bool_).at[
+                jnp.arange(b)[:, None], s.tokens].set(True)
+            seen = seen.at[:, cfg.eos_id].set(False)
+            pen = jnp.where(logits > 0, logits / repetition_penalty,
+                            logits * repetition_penalty)
+            logits = jnp.where(seen, pen, logits)
+        rng, sub = jax.random.split(s.rng)
+        gumbel = jax.random.gumbel(sub, logits.shape, jnp.float32)
+        tok = jnp.argmax(logits + temperature * gumbel, axis=-1)
+        tok = jnp.where(s.finished, cfg.eos_id, tok).astype(jnp.int32)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(lp, tok[:, None], -1)[:, 0]
+        is_eos = tok == cfg.eos_id
+        sum_lp = s.sum_lp + jnp.where(s.finished, 0.0, tok_lp)
+        length = s.length + jnp.where(s.finished | is_eos, 0, 1)
+        tokens = jax.lax.dynamic_update_slice(s.tokens, tok[:, None],
+                                              (0, s.step))
+        # all rows share prompt_len (callers pass B=1); generated tokens
+        # land at prompt_len + step, overwriting stale pad cache slots
+        pos = prompt_len[0] + s.step
+        emb = params["tok_emb"][tok[:, None]].astype(dtype)
+        nxt, cache = lm_step(params, cfg, emb, pos, s.cache)
+        return S(s.step + 1, tokens, cache, nxt[:, 0], sum_lp, length,
+                 s.finished | is_eos, rng)
+
+    f = jax.lax.while_loop(cond, body, state)
+    avg_lp = f.sum_lp / (f.length.astype(jnp.float32) + 1.0)
+    return QwenGenResult(f.tokens, f.length, avg_lp)

@@ -124,7 +124,10 @@ class QwenGenerator:
     def __init__(self, model_size: str = "qwen3-asr-test",
                  params=None, tokenizer=None, batch_size: int = 4,
                  repetition_penalty: float = 1.1,
-                 checkpoint: Optional[str] = None):
+                 checkpoint: Optional[str] = None,
+                 context: Optional[str] = None,
+                 max_tokens: Optional[int] = None,
+                 max_tokens_per_second: Optional[float] = None):
         from whisperjav_tpu.models.qwen.model import QWEN_SIZES
         self.cfg = QWEN_SIZES[model_size]
         self._params = params
@@ -139,6 +142,20 @@ class QwenGenerator:
                 self.tokenizer = QwenTokenizer(src)
         self.batch_size = batch_size
         self.repetition_penalty = repetition_penalty
+        # contextual biasing + token budgets (reference: main.py:676-681
+        # --context/--context-file; main.py:591-596 --qwen-max-tokens /
+        # --qwen-max-tokens-per-second with 0 = disabled)
+        self.context = context
+        self.max_tokens = max_tokens
+        self.max_tokens_per_second = max_tokens_per_second
+        self._ctx_ids: Optional[np.ndarray] = None
+        if context and self.tokenizer is not None:
+            ids = self.tokenizer.encode(context)
+            if ids:
+                self._ctx_ids = np.asarray(ids, np.int32)[None, :]
+        elif context:
+            logger.warning("qwen generator: --context given but no "
+                           "tokenizer available; context ignored")
 
     def load(self) -> None:
         if self._params is not None:
@@ -177,7 +194,18 @@ class QwenGenerator:
         # (mel_multiple mel frames × 160-sample hop = 4 s by default)
         unit = self.cfg.mel_multiple * 160
         max_len = ((max_len + unit - 1) // unit) * unit or unit
-        budget = token_budget(self.cfg, max_len / sample_rate)
+        seconds = max_len / sample_rate
+        tps = self.max_tokens_per_second
+        if tps is not None and tps > 0:
+            budget = max(self.cfg.min_token_budget, int(seconds * tps))
+        elif tps is not None:   # 0 = dynamic budget disabled
+            budget = self.max_tokens or self.cfg.min_token_budget * 8
+        else:
+            budget = token_budget(self.cfg, seconds)
+        if self.max_tokens is not None:
+            budget = min(budget, self.max_tokens)
+        ctx = (jnp.asarray(self._ctx_ids)
+               if self._ctx_ids is not None else None)
         for i in range(0, len(clips), self.batch_size):
             chunk = clips[i:i + self.batch_size]
             buf = np.zeros((self.batch_size, max_len), np.float32)
@@ -187,7 +215,8 @@ class QwenGenerator:
                                       n_mels=self.cfg.n_mels)
             res = generate(self._params, self.cfg, mel, max_new=budget,
                            audio_len=self.cfg.audio_tokens_for(mel.shape[-1]),
-                           repetition_penalty=self.repetition_penalty)
+                           repetition_penalty=self.repetition_penalty,
+                           ctx_ids=ctx)
             toks = np.asarray(res.tokens)
             lens = np.asarray(res.length)
             lps = np.asarray(res.avg_logprob)

@@ -44,6 +44,27 @@ def load_model(model_name: str, checkpoint: Optional[str] = None,
     return config, params
 
 
+def build_engine(cfg: PipelineConfig,
+                 checkpoint: Optional[str] = None) -> TranscriptionEngine:
+    """Bare TranscriptionEngine (no scene/VAD pipeline around it) — used
+    when a Whisper model plays the generator role inside the decoupled
+    stack (anime-whisper slot, reference: generators/anime_whisper.py)."""
+    model_config, params = load_model(cfg.model, checkpoint)
+    sens = cfg.sensitivity
+    options = DecodeOptions(
+        task=cfg.task, language=cfg.language,
+        with_timestamps=False,      # generator path: text only
+        repetition_penalty=sens.repetition_penalty,
+        cross_kv_int8=True,
+    )
+    tokenizer = WhisperTokenizer(model_config,
+                                 find_tokenizer_files(checkpoint))
+    return TranscriptionEngine(
+        model_config, params, options=options,
+        thresholds=QualityThresholds(temperatures=(0.0,)),
+        batch_size=cfg.batch_size, tokenizer=tokenizer)
+
+
 def build_pipeline(
     cfg: PipelineConfig,
     checkpoint: Optional[str] = None,

@@ -70,7 +70,16 @@ class QwenPipeline:
         scene_kwargs: Optional[Dict] = None,
         enhancer_backend: Optional[str] = None,
         language: str = "ja",
+        safe_chunking: bool = True,
+        scene_min_s: float = SCENE_MIN_S,
+        scene_max_s: float = SCENE_MAX_S,
     ):
+        # --qwen-safe-chunking / --qwen-scene-min/max-duration (reference:
+        # main.py:536-545 — enforce scene bounds for the aligner's 180 s
+        # limit; disabling allows arbitrarily long scenes)
+        self.safe_chunking = safe_chunking
+        self.scene_min_s = scene_min_s
+        self.scene_max_s = scene_max_s
         self.decoupled = decoupled
         self.scene_detector = create_scene_detector(
             scene_backend, **(scene_kwargs or {}))
@@ -92,7 +101,10 @@ class QwenPipeline:
         audio, duration = AudioExtractor(WHISPER_SAMPLE_RATE).extract(
             media.path)
         scene_result = self.scene_detector.detect(audio, WHISPER_SAMPLE_RATE)
-        scenes = safe_chunk_scenes(scene_result.scenes)
+        scenes = (safe_chunk_scenes(scene_result.scenes,
+                                    max_s=self.scene_max_s,
+                                    min_s=self.scene_min_s)
+                  if self.safe_chunking else list(scene_result.scenes))
 
         # phase 3: enhancement (graceful)
         scene_audios = []

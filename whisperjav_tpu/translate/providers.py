@@ -54,6 +54,11 @@ PROVIDERS: Dict[str, ProviderConfig] = {
                              "qwen2.5:7b", 32_768, ""),
     "local": ProviderConfig("local", "openai", "http://localhost:8080/v1",
                             "local", 8_192, ""),
+    # on-accelerator local LM (models/qwen LM + local instruct
+    # checkpoint): the TPU-native replacement for the reference's
+    # llama-cpp local backend (translate/local_backend.py)
+    "tpu-local": ProviderConfig("tpu-local", "tpu-local", None,
+                                "", 32_768, ""),
     "custom": ProviderConfig("custom", "openai", None, "", 32_768,
                              "CUSTOM_API_KEY"),
     # offline no-op provider: returns source text untranslated

@@ -166,6 +166,12 @@ def translate_srt(
     cfg = resolve_provider(provider, base_url=base_url, model=model)
     model = model or cfg.default_model
     batch_override: Optional[int] = None
+    if cfg.api_style == "tpu-local" and call_fn is None:
+        # on-accelerator local LM: --translate-model is the local
+        # checkpoint directory (TPU replacement for the reference's
+        # llama-cpp backend)
+        from whisperjav_tpu.translate.local_backend import TpuLocalBackend
+        call_fn = TpuLocalBackend(checkpoint=model or None)
     if cfg.api_style == "ollama" and call_fn is None:
         from whisperjav_tpu.translate.ollama_manager import OllamaManager
         mgr = OllamaManager(base_url=cfg.base_url)
