@@ -44,8 +44,10 @@ def main():
 
     config = WHISPER_SIZES[MODEL]
     params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    kv_bits = int(os.environ.get("WJAV_BENCH_KV_BITS", "8"))
     options = DecodeOptions(max_new_tokens=DECODE_TOKENS,
-                            cross_kv_int8=True)
+                            cross_kv_int8=kv_bits == 8,
+                            cross_kv_int4=kv_bits == 4)
     engine = TranscriptionEngine(
         config, params, options=options,
         thresholds=QualityThresholds(temperatures=(0.0,)),

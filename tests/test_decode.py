@@ -191,3 +191,35 @@ def test_first_token_forced_timestamp_and_text_allowed_after(tiny_model):
         openings = ts[0::2]
         for a, b in zip(openings[:-1], openings[1:]):
             assert b > a
+
+
+def test_int4_cross_kv_structurally_valid(tiny_model):
+    """int4 cross-KV (quartered HBM stream) decodes to a structurally
+    valid result and tracks the fp attention direction on a tiny model.
+    Token agreement tolerance is looser than int8 — a ±7-level grid."""
+    from whisperjav_tpu.models.whisper.model import (
+        cross_attention, precompute_cross_kv,
+    )
+    import jax.numpy as jnp
+    params, xa = tiny_model
+    q4 = decode_greedy(params, TINY, xa,
+                       DecodeOptions(max_new_tokens=16, cross_kv_int4=True))
+    toks = np.asarray(q4.tokens)
+    assert toks.shape[1] == 16
+    assert np.isfinite(np.asarray(q4.avg_logprob)).all()
+
+    # attention-level error bound: int4 output within coarse-grid noise
+    fp_kv = precompute_cross_kv(params, TINY, xa)
+    q4_kv = precompute_cross_kv(params, TINY, xa, int4=True)
+    assert str(q4_kv.k.dtype) == "int4"
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal(
+        (xa.shape[0], 1, TINY.n_text_head,
+         TINY.n_text_state // TINY.n_text_head)).astype(np.float32))
+    out_fp = np.asarray(cross_attention(
+        q, fp_kv.k[0], fp_kv.v[0], fp_kv.k_scale[0], fp_kv.v_scale[0]))
+    out_q4 = np.asarray(cross_attention(
+        q, q4_kv.k[0], q4_kv.v[0], q4_kv.k_scale[0], q4_kv.v_scale[0]))
+    denom = np.linalg.norm(out_fp) + 1e-9
+    rel = np.linalg.norm(out_fp - out_q4) / denom
+    assert rel < 0.25, f"int4 attention error too large: {rel:.3f}"

@@ -283,3 +283,60 @@ def test_translate_srt_tpu_local_dispatch(tmp_path, monkeypatch):
     subs = load_srt(out)
     assert subs[0].text == "EN[こんにちは]"
     assert subs[1].text == "EN[ありがとう]"
+
+
+# ---------------------------------------------------------------------------
+# settings persistence (reference: translate/settings.py)
+# ---------------------------------------------------------------------------
+
+def test_settings_roundtrip_and_precedence(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("WJAV_CONFIG_DIR", str(tmp_path))
+    from whisperjav_tpu.translate import settings as st
+    s = st.load_settings()
+    assert s["provider"] == "identity"          # defaults when no file
+    s["provider"] = "deepseek"
+    s["movie_title"] = "Test Movie"
+    s["actress"] = "Aizawa"
+    path = st.save_settings(s)
+    assert path.exists()
+    again = st.load_settings()
+    assert again["provider"] == "deepseek"
+    ctx = st.movie_context_block(again)
+    assert "Test Movie" in ctx and "Aizawa" in ctx
+
+    # stored settings become CLI defaults; explicit flags win
+    from whisperjav_tpu.translate import cli as tcli
+    rc = tcli.main(["--show-settings"])
+    assert rc == 0
+    shown = json.loads(capsys.readouterr().out)
+    assert shown["provider"] == "deepseek"
+    rc = tcli.main(["--provider", "identity", "--show-settings"])
+    shown = json.loads(capsys.readouterr().out)
+    assert shown["provider"] == "identity"
+
+
+def test_settings_corrupt_file_falls_back(tmp_path, monkeypatch):
+    monkeypatch.setenv("WJAV_CONFIG_DIR", str(tmp_path))
+    from whisperjav_tpu.translate import settings as st
+    p = st.get_settings_path()
+    p.parent.mkdir(parents=True)
+    p.write_text("{not json", encoding="utf-8")
+    s = st.load_settings()
+    assert s["provider"] == "identity"
+
+
+def test_movie_context_reaches_prompt(tmp_path, monkeypatch):
+    from whisperjav_tpu.modules.srt import Subtitle, save_srt
+    from whisperjav_tpu.translate.service import translate_srt
+    prompts = []
+
+    def fake_call(prompt):
+        prompts.append(prompt)
+        return "1: hi"
+
+    srt = tmp_path / "m.srt"
+    save_srt(srt, [Subtitle(1, 0.0, 1.0, "やあ")])
+    translate_srt(srt, provider="identity", call_fn=fake_call,
+                  movie_context="Movie context:\nTitle: XYZ",
+                  max_batch_size=5)
+    assert "Title: XYZ" in prompts[0]

@@ -69,6 +69,9 @@ class DecodeOptions:
     # int8-quantize cross-attention K/V per (layer,batch,head): halves the
     # dominant per-token HBM stream at negligible quality cost
     cross_kv_int8: bool = False
+    # int4 cross-KV (wins over int8): quarters the stream via XLA-native
+    # s4; coarser ±7-level grid — opt-in, A/B before production use
+    cross_kv_int4: bool = False
 
 
 class DecodeResult(NamedTuple):
@@ -296,7 +299,8 @@ def decode_greedy(
     tokens = tokens.at[:, :prompt_len].set(jnp.asarray(init)[None, :])
 
     cross = precompute_cross_kv(params, config, xa,
-                                int8=options.cross_kv_int8)
+                                int8=options.cross_kv_int8,
+                                int4=options.cross_kv_int4)
     cache = KVCache.zeros(config, b, total_len,
                           params["decoder"]["tok_emb"].dtype)
     prefill, cache = decode_step(
@@ -589,7 +593,8 @@ def decode_beam(
 
     xa_k = jnp.repeat(xa, k, axis=0)                       # (B*k, T, d)
     cross = precompute_cross_kv(params, config, xa_k,
-                                int8=options.cross_kv_int8)
+                                int8=options.cross_kv_int8,
+                                int4=options.cross_kv_int4)
     tokens = jnp.zeros((b * k, total_len), jnp.int32)
     tokens = tokens.at[:, :prompt_len].set(jnp.asarray(init)[None, :])
     cache = KVCache.zeros(config, b * k, total_len,

@@ -248,12 +248,15 @@ class CrossKV(NamedTuple):
 
 
 def precompute_cross_kv(params: Params, config: WhisperConfig,
-                        xa: jax.Array, int8: bool = False) -> CrossKV:
+                        xa: jax.Array, int8: bool = False,
+                        int4: bool = False) -> CrossKV:
     """Project encoder states once; reused by every decode step.
 
     ``int8=True`` symmetrically quantizes K/V per (layer, batch, head),
     halving the dominant per-token HBM stream; the int8→bf16 convert and
-    scale multiply fuse into the attention matmuls.
+    scale multiply fuse into the attention matmuls. ``int4=True``
+    (wins over int8) packs K/V into XLA's native s4 — quartering the
+    stream; coarser ±7-level grid, opt-in (DecodeOptions.cross_kv_int4).
     """
     blocks = params["decoder"]["blocks"]
     h = config.n_text_head
@@ -263,15 +266,17 @@ def precompute_cross_kv(params: Params, config: WhisperConfig,
         k = _split_heads(dense(xa, layer_p["cwk"]), h).transpose(0, 2, 3, 1)
         v = _split_heads(dense(xa, layer_p["cwv"], layer_p["cbv"]),
                          h).transpose(0, 2, 3, 1)
-        if int8:
+        if int8 or int4:
+            qmax = 7.0 if int4 else 127.0
+            dt = jnp.int4 if int4 else jnp.int8
             ks = (jnp.max(jnp.abs(k.astype(jnp.float32)), axis=(2, 3),
-                          keepdims=True) / 127.0 + 1e-9)
+                          keepdims=True) / qmax + 1e-9)
             vs = (jnp.max(jnp.abs(v.astype(jnp.float32)), axis=(2, 3),
-                          keepdims=True) / 127.0 + 1e-9)
+                          keepdims=True) / qmax + 1e-9)
             k = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
-                         -127, 127).astype(jnp.int8)
+                         -qmax, qmax).astype(dt)
             v = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
-                         -127, 127).astype(jnp.int8)
+                         -qmax, qmax).astype(dt)
         else:
             ks = jnp.ones(k.shape[:2] + (1, 1), jnp.float32)
             vs = ks
@@ -288,14 +293,15 @@ def cross_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
     K/V may be int8 with per-(batch,head) scales (B, H, 1, 1)."""
     hd = q.shape[-1]
     scale = hd ** -0.25
+    quant = (jnp.int8, jnp.int4)
     logits = jnp.einsum("bqhd,bhdt->bhqt", q * (scale * scale),
                         ck.astype(q.dtype),
                         preferred_element_type=jnp.float32)
-    logits = logits * k_scale if ck.dtype == jnp.int8 else logits
+    logits = logits * k_scale if ck.dtype in quant else logits
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqt,bhdt->bqhd", weights, cv.astype(q.dtype),
                      preferred_element_type=jnp.float32)
-    if cv.dtype == jnp.int8:
+    if cv.dtype in quant:
         out = out * jnp.transpose(v_scale, (0, 2, 1, 3))  # (B,1,H,1)
     return out.astype(q.dtype)
 

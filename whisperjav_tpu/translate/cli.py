@@ -1,31 +1,79 @@
-"""``whisperjav-translate`` CLI (reference: whisperjav/translate/cli.py)."""
+"""``whisperjav-translate`` CLI (reference: whisperjav/translate/cli.py).
+
+Settings precedence (reference: translate/settings.py): explicit CLI
+flags > the persisted settings file > built-in defaults. ``--save``
+persists the effective choices for future runs; ``--show-settings``
+prints them.
+"""
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 from pathlib import Path
 from typing import List, Optional
 
+from whisperjav_tpu.translate.settings import (
+    load_settings, movie_context_block, save_settings,
+)
+
 
 def main(argv: Optional[List[str]] = None) -> int:
+    stored = load_settings()
     p = argparse.ArgumentParser(
         prog="whisperjav-translate",
         description="translate subtitle files via LLM providers")
-    p.add_argument("-i", "--input", required=True, help="input SRT file")
+    p.add_argument("-i", "--input", default=None, help="input SRT file")
     p.add_argument("-o", "--output", default=None)
-    p.add_argument("--provider", default="identity",
+    p.add_argument("--provider", default=stored["provider"],
                    help="deepseek/openrouter/gpt/claude/gemini/glm/groq/"
-                        "ollama/local/custom/identity")
-    p.add_argument("--model", default=None)
-    p.add_argument("--target-language", default="English")
+                        "ollama/local/tpu-local/custom/identity")
+    p.add_argument("--model", default=stored["model"],
+                   help="model id (for tpu-local: a local Qwen3-family "
+                        "instruct checkpoint directory)")
+    p.add_argument("--target-language", default=stored["target_language"])
     p.add_argument("--base-url", default=None)
-    p.add_argument("--tone", default="standard",
+    p.add_argument("--tone", default=stored["tone"],
                    choices=["standard", "pornify"],
                    help="instruction set flavor")
+    p.add_argument("--max-batch-size", type=int,
+                   default=stored["max_batch_size"],
+                   help="cap subtitle lines per request")
+    p.add_argument("--movie-title", default=stored["movie_title"],
+                   help="movie title woven into the prompt context")
+    p.add_argument("--movie-plot", default=stored["movie_plot"])
+    p.add_argument("--actress", default=stored["actress"],
+                   help="performer name(s) for pronoun/name handling")
     p.add_argument("--no-auto-start", action="store_true",
                    help="do not auto-start a local ollama server")
+    p.add_argument("--save", action="store_true",
+                   help="persist the effective settings for future runs")
+    p.add_argument("--show-settings", action="store_true",
+                   help="print effective settings and exit")
     args = p.parse_args(argv)
+
+    effective = dict(
+        stored,
+        provider=args.provider, model=args.model,
+        target_language=args.target_language, tone=args.tone,
+        max_batch_size=args.max_batch_size,
+        movie_title=args.movie_title, movie_plot=args.movie_plot,
+        actress=args.actress,
+        ollama_url=args.base_url or stored.get("ollama_url"),
+    )
+    if args.show_settings:
+        print(json.dumps({k: v for k, v in effective.items()
+                          if not k.startswith("_")},
+                         indent=2, ensure_ascii=False))
+        return 0
+    if args.save:
+        path = save_settings(effective)
+        print(f"settings saved: {path}")
+        if args.input is None:
+            return 0
+    if args.input is None:
+        p.error("-i/--input is required (unless --save/--show-settings)")
 
     from whisperjav_tpu.translate.service import translate_srt
     out = translate_srt(
@@ -33,7 +81,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         target_language=args.target_language,
         output_path=Path(args.output) if args.output else None,
         base_url=args.base_url, tone=args.tone,
-        auto_start_ollama=not args.no_auto_start)
+        auto_start_ollama=not args.no_auto_start,
+        max_batch_size=args.max_batch_size,
+        movie_context=movie_context_block(effective))
     print(out)
     return 0
 

@@ -153,6 +153,8 @@ def translate_srt(
     tone: str = "standard",
     auto_start_ollama: bool = True,
     call_fn: Optional[Callable] = None,   # injection point for tests
+    max_batch_size: Optional[int] = None,
+    movie_context: Optional[str] = None,
 ) -> Path:
     """Translate an SRT file batch-by-batch with resume; returns output path.
 
@@ -189,8 +191,14 @@ def translate_srt(
     project = TranslationProject.load_or_new(srt_path, provider, model,
                                              target_language)
     batch_size = batch_override or max_batch_lines(cfg)
+    if max_batch_size:
+        batch_size = min(batch_size, max_batch_size)
     call = call_fn or (lambda prompt: _call_provider(cfg, prompt, model))
     instructions = get_instruction_content(tone, target_language)
+    if movie_context:
+        # movie metadata block (reference: settings.py movie_title/plot/
+        # actress injected for name & register handling)
+        instructions = instructions + "\n" + movie_context + "\n"
 
     pending = [s for s in subs if str(s.index) not in project.translated]
     logger.info("translating %d/%d cues via %s (%s), batch=%d",
