@@ -223,3 +223,64 @@ def test_int4_cross_kv_structurally_valid(tiny_model):
     denom = np.linalg.norm(out_fp) + 1e-9
     rel = np.linalg.norm(out_fp - out_q4) / denom
     assert rel < 0.25, f"int4 attention error too large: {rel:.3f}"
+
+
+def test_no_repeat_ngram_bans_completion():
+    """The n-gram rule bans exactly the token that would complete an
+    already-seen 3-gram, and never bans EOT (reference preset value 3,
+    faster_whisper.py:265)."""
+    from whisperjav_tpu.models.whisper.decode import (
+        _State, _apply_logit_rules,
+    )
+    cfg = TINY
+    opts = DecodeOptions(with_timestamps=False, suppress_blank=False,
+                         suppress_tokens=(), no_repeat_ngram_size=3,
+                         max_new_tokens=16)
+    prompt_len = 3
+    total = prompt_len + 16
+    # generated so far: a b c x a b   → suffix (a, b); 3-gram (a,b,c)
+    # exists → c must be banned at the next step
+    a, b_, c, x = 100, 200, 300, 400
+    tokens = np.full((1, total), cfg.eot, np.int32)
+    tokens[0, :prompt_len] = [cfg.sot, cfg.sot + 1, cfg.sot + 2]
+    gen = [a, b_, c, x, a, b_]
+    tokens[0, prompt_len:prompt_len + len(gen)] = gen
+    state = _State(
+        step=jnp.int32(len(gen)), tokens=jnp.asarray(tokens),
+        cache=None, cur_logits=None,
+        sum_lp=jnp.zeros((1,)), length=jnp.zeros((1,), jnp.int32),
+        finished=jnp.zeros((1,), jnp.bool_),
+        last_was_ts=jnp.zeros((1,), jnp.bool_),
+        penult_was_ts=jnp.ones((1,), jnp.bool_),
+        max_ts=jnp.zeros((1,), jnp.int32), rng=jax.random.PRNGKey(0))
+    logits = jnp.zeros((1, cfg.n_vocab), jnp.float32)
+    static_mask = np.zeros((cfg.n_vocab,), np.float32)
+    out = np.asarray(_apply_logit_rules(
+        logits, state, cfg, opts, jnp.asarray(static_mask), prompt_len))
+    assert out[0, c] == -np.inf          # completes seen 3-gram (a,b,c)
+    assert np.isfinite(out[0, x])        # (a,b,x) never seen
+    assert np.isfinite(out[0, cfg.eot])  # EOT always legal
+
+    # different suffix → nothing banned
+    tokens2 = tokens.copy()
+    tokens2[0, prompt_len + 5] = x       # suffix (a, x)
+    state2 = state._replace(tokens=jnp.asarray(tokens2))
+    out2 = np.asarray(_apply_logit_rules(
+        logits, state2, cfg, opts, jnp.asarray(static_mask), prompt_len))
+    assert np.isfinite(out2[0, c])
+
+
+def test_no_repeat_ngram_decode_has_no_repeated_trigrams(tiny_model):
+    """End-to-end: greedy decode with the rule on emits no repeated
+    3-gram in any row."""
+    params, xa = tiny_model
+    res = decode_greedy(params, TINY, xa,
+                        DecodeOptions(with_timestamps=False,
+                                      no_repeat_ngram_size=3,
+                                      max_new_tokens=24))
+    toks = np.asarray(res.tokens)
+    lens = np.asarray(res.length)
+    for r in range(toks.shape[0]):
+        seq = [t for t in toks[r, :lens[r]]]
+        grams = [tuple(seq[i:i + 3]) for i in range(len(seq) - 2)]
+        assert len(grams) == len(set(grams)), f"repeated 3-gram in row {r}"

@@ -32,6 +32,9 @@ class SensitivityPreset:
     # config/components/asr/faster_whisper.py:241-242,281-282,321-322)
     patience: float = 1.0
     best_of: int = 2
+    # every reference sensitivity runs no_repeat_ngram_size=3
+    # (faster_whisper.py:265,305,345 — "prevents repetition loops")
+    no_repeat_ngram_size: int = 3
     compression_ratio_threshold: float = 2.4
     # VAD
     vad_threshold: float = 0.28

@@ -53,6 +53,9 @@ class DecodeOptions:
     suppress_blank: bool = True
     suppress_tokens: Tuple[int, ...] = DEFAULT_NONSPEECH_TOKENS
     repetition_penalty: float = 1.0
+    # ban tokens completing an already-seen n-gram (0 = off; the
+    # reference presets all run 3 — faster_whisper.py:265,305,345)
+    no_repeat_ngram_size: int = 0
     beam_size: int = 1
     # beam patience (Kasai et al. 2020; the CTranslate2/faster-whisper
     # option every sensitivity preset tunes — reference:
@@ -147,6 +150,30 @@ def _apply_logit_rules(logits, state, config: WhisperConfig,
         seen = seen.at[:, config.eot].set(False)
         penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
         logits = jnp.where(seen, penalized, logits)
+
+    if options.no_repeat_ngram_size > 0:
+        # CTranslate2/HF no_repeat_ngram rule (reference preset value 3
+        # for every sensitivity, faster_whisper.py:265,305,345): ban any
+        # token that would complete an n-gram already present in the
+        # sequence. Vectorized: compare every window start j against the
+        # current (n-1)-token suffix and scatter-ban the token at j+n-1.
+        n = options.no_repeat_ngram_size
+        tl = state.tokens.shape[1]
+        cur = prompt_len + state.step           # next write position
+        suf = jax.lax.dynamic_slice(
+            state.tokens, (0, cur - (n - 1)), (b, n - 1))
+        nwin = tl - n + 1
+        match = jnp.ones((b, nwin), jnp.bool_)
+        for i in range(n - 1):
+            match &= state.tokens[:, i:i + nwin] == suf[:, i:i + 1]
+        win = jnp.arange(nwin)
+        match &= win[None, :] <= cur - n        # window fully in the past
+        completions = state.tokens[:, n - 1:n - 1 + nwin]
+        scatter_ids = jnp.where(match, completions, config.eot)
+        banned = jnp.zeros((b, v), jnp.bool_).at[
+            jnp.arange(b)[:, None], scatter_ids].set(True)
+        banned = banned.at[:, config.eot].set(False)   # EOT stays legal
+        logits = jnp.where(banned, -jnp.inf, logits)
 
     if options.with_timestamps:
         ts_begin = config.timestamp_begin

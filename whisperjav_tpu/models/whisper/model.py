@@ -18,6 +18,7 @@ whisperjav/modules/whisper_pro_asr.py:29) with a TPU-first design:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -25,6 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from whisperjav_tpu.models.whisper.config import WhisperConfig
+
+# opt-in pallas decode cross-attention (docs/ADR-002; read once at
+# import so the flag is trace-time static)
+_PALLAS_DECODE = os.environ.get("WJAV_PALLAS_DECODE", "0") == "1"
 
 Params = Dict[str, Any]
 
@@ -307,7 +312,8 @@ def cross_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
 
 
 def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
-                   cache_k, cache_v, pos, n_head, self_bias):
+                   cache_k, cache_v, pos, n_head, self_bias,
+                   cross_stacked=None):
     """One decoder block at positions [pos, pos+q). Returns x and new cache.
 
     Caches are stored heads-merged (B, T, d); heads are split transiently
@@ -330,7 +336,23 @@ def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
     # --- cross-attention (K/V pre-laid-out as (B, H, hd, T)) ---
     h = layer_norm(x, layer_p["lnx_s"], layer_p["lnx_b"])
     cq = _split_heads(dense(h, layer_p["cwq"], layer_p["cbq"]), n_head)
-    a = cross_attention(cq, cross_k, cross_v, ck_scale, cv_scale)
+    if cross_stacked is not None:
+        # pallas decode path (WJAV_PALLAS_DECODE=1): the kernel reads its
+        # layer slice straight from the loop-invariant stacked int8 K/V
+        # (a per-layer scan input would be materialized by XLA first —
+        # re-adding the stream the kernel eliminates; docs/ADR-002)
+        from whisperjav_tpu.ops.pallas.decode_attention import (
+            decode_cross_attention_stacked,
+        )
+        full_k, full_v, l_idx = cross_stacked
+        hd = cq.shape[-1]
+        scale = hd ** -0.5
+        qf = (cq[:, 0].astype(jnp.float32) * scale
+              * ck_scale[:, :, 0, 0][..., None])          # (B, H, hd)
+        a = decode_cross_attention_stacked(qf, full_k, full_v, l_idx)
+        a = (a * cv_scale[:, :, 0, 0][..., None])[:, None].astype(cq.dtype)
+    else:
+        a = cross_attention(cq, cross_k, cross_v, ck_scale, cv_scale)
     x = x + dense(a.reshape(b, q_len, d), layer_p["cwo"], layer_p["cbo"])
     # --- mlp ---
     h = layer_norm(x, layer_p["ln2_s"], layer_p["ln2_b"])
@@ -369,15 +391,36 @@ def decode_hidden(
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (q_len, t_max), 1)
     self_bias = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)[None, None]
 
-    def body(h, xs):
-        layer_p, ck, cv, cks, cvs, sk, sv = xs
-        h, nk, nv = _decoder_block(h, layer_p, ck, cv, cks, cvs, sk, sv,
-                                   pos, config.n_text_head, self_bias)
-        return h, (nk, nv)
+    use_pallas = (_PALLAS_DECODE and q_len == 1
+                  and cross.k.dtype == jnp.int8)
+    if use_pallas:
+        # K/V stay loop-invariant (closed over); only the layer index
+        # is scanned, so the pallas kernel's BlockSpec selects the layer
+        # without XLA materializing a per-layer copy
+        n_layers = cross.k.shape[0]
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (dec["blocks"], cross.k, cross.v, cross.k_scale,
-                  cross.v_scale, cache.k, cache.v))
+        def body(h, xs):
+            layer_p, l_idx, cks, cvs, sk, sv = xs
+            h, nk, nv = _decoder_block(
+                h, layer_p, None, None, cks, cvs, sk, sv,
+                pos, config.n_text_head, self_bias,
+                cross_stacked=(cross.k, cross.v, l_idx))
+            return h, (nk, nv)
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (dec["blocks"], jnp.arange(n_layers),
+                      cross.k_scale, cross.v_scale, cache.k, cache.v))
+    else:
+        def body(h, xs):
+            layer_p, ck, cv, cks, cvs, sk, sv = xs
+            h, nk, nv = _decoder_block(h, layer_p, ck, cv, cks, cvs,
+                                       sk, sv, pos, config.n_text_head,
+                                       self_bias)
+            return h, (nk, nv)
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (dec["blocks"], cross.k, cross.v, cross.k_scale,
+                      cross.v_scale, cache.k, cache.v))
     x = layer_norm(x, dec["ln_s"], dec["ln_b"])
     return x, KVCache(new_k, new_v)
 

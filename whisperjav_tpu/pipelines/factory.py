@@ -106,6 +106,7 @@ def build_pipeline(
         with_timestamps=(cfg.mode.with_timestamps
                          and not getattr(cfg, "no_timestamps", False)),
         repetition_penalty=sens.repetition_penalty,
+        no_repeat_ngram_size=sens.no_repeat_ngram_size,
         beam_size=sens.beam_size,
         patience=sens.patience,
         best_of=sens.best_of,
