@@ -570,3 +570,37 @@ def test_pass_pipeline_alias_parses():
                                 "--pass2-pipeline", "faster"])
     assert args.pass1_mode == "fast"
     assert args.pass2_mode == "faster"
+
+
+def test_asr_component_and_features_map(tmp_path, monkeypatch):
+    """--asr/--features reference component spellings map onto
+    mode/scene-backend (reference ensemble resolver, main.py:178-183)."""
+    import whisperjav_tpu.pipelines.factory as factory
+    seen = {}
+    orig = factory.build_pipeline
+
+    def spy(cfg, **kw):
+        seen["cfg"] = cfg
+        return orig(cfg, **kw)
+
+    monkeypatch.setattr(factory, "build_pipeline", spy)
+    wav = _wav(tmp_path, "asr.wav", seconds=3.0)
+    rc = cli.main([str(wav), "--asr", "faster_whisper",
+                   "--features", "auditok_scene_detection",
+                   "--model", "tiny",
+                   "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    assert seen["cfg"].mode.name == "faster"
+    assert seen["cfg"].mode.scene_backend == "energy"
+
+
+def test_pipeline_config_yaml_defaults(tmp_path):
+    cfgf = tmp_path / "pipe.yaml"
+    cfgf.write_text("timestamp-mode: vad_only\nregroup-mode: 'off'\n")
+    args = cli.parse_arguments(["x.wav", "--pipeline-config", str(cfgf)])
+    assert args.timestamp_mode == "vad_only"
+    assert args.regroup_mode == "off"
+    # explicit flag wins
+    args = cli.parse_arguments(["x.wav", "--pipeline-config", str(cfgf),
+                                "--timestamp-mode", "aligner_only"])
+    assert args.timestamp_mode == "aligner_only"

@@ -31,6 +31,18 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="JSON file of flag defaults (flag names with "
                         "dashes or underscores); explicit CLI flags win "
                         "(reference: main.py:172)")
+    p.add_argument("--asr", default=None,
+                   choices=["faster_whisper", "openai_whisper", "stable_ts",
+                            "kotoba_faster_whisper", "transformers",
+                            "qwen3", "qwen"],
+                   help="ASR component spelling (reference ensemble-mode "
+                        "resolver, main.py:178) — maps onto --mode")
+    p.add_argument("--features", default=None,
+                   help="comma-separated feature names (reference: "
+                        "main.py:182), e.g. auditok_scene_detection")
+    p.add_argument("--pipeline-config", default=None, metavar="FILE",
+                   help="YAML/JSON file of decoupled-pipeline defaults "
+                        "(reference: main.py:653); CLI flags win")
     p.add_argument("--mode", "--pipeline", dest="mode", default="balanced",
                    choices=["faster", "fast", "balanced", "fidelity",
                             "transformers", "qwen", "anime"],
@@ -361,27 +373,37 @@ def _apply_config_file_defaults(p: argparse.ArgumentParser,
     defaults, so explicit CLI flags always win (reference: main.py:172 —
     JSON configuration file)."""
     av = list(sys.argv[1:] if argv is None else argv)
-    path = None
-    for i, a in enumerate(av):
-        if a == "--config" and i + 1 < len(av):
-            path = av[i + 1]
-        elif a.startswith("--config="):
-            path = a.split("=", 1)[1]
-    if not path:
+    paths = []
+    for flag in ("--pipeline-config", "--config"):   # --config wins
+        for i, a in enumerate(av):
+            if a == flag and i + 1 < len(av):
+                paths.append((flag, av[i + 1]))
+            elif a.startswith(flag + "="):
+                paths.append((flag, a.split("=", 1)[1]))
+    if not paths:
         return
-    try:
-        loaded = json.loads(Path(path).read_text(encoding="utf-8"))
-    except (OSError, json.JSONDecodeError) as e:
-        raise SystemExit(f"--config {path}: {e}")
-    if not isinstance(loaded, dict):
-        raise SystemExit(f"--config {path}: expected a JSON object")
     known = {a.dest for a in p._actions}
     defaults = {}
-    for key, value in loaded.items():
-        dest = key.replace("-", "_").lstrip("_")
-        if dest not in known:
-            raise SystemExit(f"--config {path}: unknown option {key!r}")
-        defaults[dest] = value
+    for flag, path in paths:
+        text = None
+        try:
+            text = Path(path).read_text(encoding="utf-8")
+            loaded = json.loads(text)
+        except json.JSONDecodeError:
+            try:
+                import yaml
+                loaded = yaml.safe_load(text)
+            except Exception as e:  # noqa: BLE001
+                raise SystemExit(f"{flag} {path}: {e}")
+        except OSError as e:
+            raise SystemExit(f"{flag} {path}: {e}")
+        if not isinstance(loaded, dict):
+            raise SystemExit(f"{flag} {path}: expected a mapping")
+        for key, value in loaded.items():
+            dest = key.replace("-", "_").lstrip("_")
+            if dest not in known:
+                raise SystemExit(f"{flag} {path}: unknown option {key!r}")
+            defaults[dest] = value
     p.set_defaults(**defaults)
 
 
@@ -457,8 +479,39 @@ def _pass_overrides(args, n: int, base: Dict) -> Dict:
     return out
 
 
+_ASR_TO_MODE = {
+    # reference ensemble-resolver component names → mode presets
+    # (main.py:178, pipelines registry)
+    "faster_whisper": "faster",
+    "kotoba_faster_whisper": "fast",
+    "openai_whisper": "balanced",
+    "stable_ts": "fidelity",
+    "transformers": "transformers",
+    "qwen3": "qwen",
+    "qwen": "qwen",
+}
+
+_FEATURE_TO_SCENE = {
+    "auditok_scene_detection": "energy",
+    "silero_scene_detection": "silero",
+    "semantic_scene_detection": "semantic",
+}
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_arguments(argv)
+    if args.asr:
+        args.mode = _ASR_TO_MODE[args.asr]
+    if args.features:
+        for feat in (f.strip() for f in args.features.split(",")):
+            if not feat:
+                continue
+            if feat in _FEATURE_TO_SCENE:
+                if not args.scene_backend:
+                    args.scene_backend = _FEATURE_TO_SCENE[feat]
+            else:
+                print(f"warning: unknown feature {feat!r} ignored",
+                      file=sys.stderr)
     if args.debug:
         args.verbosity = "debug"
     if args.make_vtt and args.output_format is None:
