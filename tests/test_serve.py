@@ -76,3 +76,70 @@ def test_health_and_transcribe(server, tmp_path):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+
+def test_coalescer_shares_batches():
+    """Concurrent submissions decode in ONE transcribe_windows pass and
+    route results back to the right request."""
+    calls = []
+
+    class FakeEngine:
+        batch_size = 4
+
+        def transcribe_windows(self, windows, seed=0):
+            calls.append(len(windows))
+            return [(w, [f"seg-{id(w)}"]) for w in windows]
+
+    co = serve.WindowCoalescer(FakeEngine(), linger_ms=120.0)
+
+    class W:   # stand-in window object
+        pass
+
+    outs = {}
+
+    def client(name, n):
+        wins = [W() for _ in range(n)]
+        outs[name] = (wins, co.submit(wins))
+
+    threads = [threading.Thread(target=client, args=(f"c{i}", 2))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every request got exactly its own windows back, in order
+    for name, (wins, result) in outs.items():
+        assert [w for w, _ in result] == wins
+        assert [s for _, segs in result for s in segs] == \
+            [f"seg-{id(w)}" for w in wins]
+    # at least two requests shared one engine call (6 windows total;
+    # the first call may fire alone before the others enqueue)
+    assert len(calls) < 3
+    assert sum(calls) == 6
+
+
+def test_coalescer_propagates_errors():
+    class BoomEngine:
+        batch_size = 2
+
+        def transcribe_windows(self, windows, seed=0):
+            raise RuntimeError("boom")
+
+    co = serve.WindowCoalescer(BoomEngine(), linger_ms=5.0)
+    with pytest.raises(RuntimeError, match="boom"):
+        co.submit([object()])
+
+
+def test_service_coalesced_end_to_end(server):
+    """Service path with coalescing on: correct SRT out (tiny pipeline)."""
+    cfg = resolve_pipeline_config(mode="fast", batch_size=2)
+    pipeline = build_pipeline(cfg, model_config=TINY,
+                              params=init_params(TINY,
+                                                 jax.random.PRNGKey(0)))
+    svc = serve.TranscriptionService(pipeline, linger_ms=20.0)
+    sr = 16000
+    t = np.arange(int(3.0 * sr)) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    subs, stats = svc.transcribe_array(audio, sr)
+    assert stats.get("coalesced") is True
+    assert isinstance(subs, list)

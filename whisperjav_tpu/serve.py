@@ -21,6 +21,7 @@ import io
 import json
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import List, Optional
@@ -30,13 +31,83 @@ import numpy as np
 from whisperjav_tpu.utils.logger import logger, setup_logger
 
 
-class TranscriptionService:
-    """Owns one pipeline; serializes device access across requests."""
+class WindowCoalescer:
+    """Cross-request micro-batching: decode windows from CONCURRENT
+    requests in shared engine batches.
 
-    def __init__(self, pipeline, language: str = "ja"):
+    Continuous-batching-lite for the TPU: each HTTP thread preprocesses
+    its own audio (scenes/VAD — host work, embarrassingly parallel),
+    then submits its window list here. A single device thread drains the
+    queue, waiting up to ``linger_ms`` to let concurrent requests pile
+    in, concatenates everything, and runs ONE ``transcribe_windows``
+    pass — so ten 1-window requests cost one padded batch instead of
+    ten. Results route back by window identity.
+    """
+
+    def __init__(self, engine, linger_ms: float = 30.0):
+        import queue
+        self.engine = engine
+        self.linger_s = linger_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    class _Req:
+        __slots__ = ("windows", "event", "result", "error")
+
+        def __init__(self, windows):
+            self.windows = windows
+            self.event = threading.Event()
+            self.result = None
+            self.error = None
+
+    def submit(self, windows):
+        req = self._Req(windows)
+        self._q.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _worker(self):
+        import queue
+        while True:
+            reqs = [self._q.get()]
+            deadline = time.monotonic() + self.linger_s
+            cap = max(self.engine.batch_size * 4, 1)
+            while sum(len(r.windows) for r in reqs) < cap:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    reqs.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                all_windows = [w for r in reqs for w in r.windows]
+                results = self.engine.transcribe_windows(all_windows)
+                by_id = {id(w): (w, segs) for w, segs in results}
+                for r in reqs:
+                    r.result = [by_id[id(w)] for w in r.windows]
+            except Exception as e:  # noqa: BLE001 — unblock waiters
+                for r in reqs:
+                    r.error = e
+            finally:
+                for r in reqs:
+                    r.event.set()
+
+
+class TranscriptionService:
+    """Owns one pipeline; coalesces concurrent requests into shared
+    device batches (``linger_ms=0`` restores strict serialization)."""
+
+    def __init__(self, pipeline, language: str = "ja",
+                 linger_ms: float = 30.0):
         self.pipeline = pipeline
         self.language = language
-        self.lock = threading.Lock()   # one batch stream on the device
+        self.lock = threading.Lock()   # host-side assemble state
+        self.coalescer = (WindowCoalescer(pipeline.engine, linger_ms)
+                          if linger_ms > 0 else None)
 
     def transcribe_array(self, audio: np.ndarray, sample_rate: int):
         from whisperjav_tpu.modules.audio_io import (
@@ -44,9 +115,31 @@ class TranscriptionService:
         )
         if sample_rate != WHISPER_SAMPLE_RATE:
             audio = resample(audio, sample_rate, WHISPER_SAMPLE_RATE)
-        with self.lock:
-            subs, stats = self.pipeline.process_audio(
-                audio, WHISPER_SAMPLE_RATE)
+        if self.coalescer is None:
+            with self.lock:
+                subs, stats = self.pipeline.process_audio(
+                    audio, WHISPER_SAMPLE_RATE)
+        else:
+            t0 = time.time()
+            # scene/VAD backends may carry internal state (e.g. the
+            # silero LSTM) — serialize the host stage; the coalescer's
+            # shared device batches are where the concurrency win is
+            with self.lock:
+                windows, stats = self.pipeline.collect_windows(
+                    audio, WHISPER_SAMPLE_RATE)
+            t_seg = time.time() - t0
+            t0 = time.time()
+            results = self.coalescer.submit(windows)  # shared device batch
+            t_asr = time.time() - t0
+            with self.lock:                           # assemble is stateful
+                subs = self.pipeline.assemble_subtitles(results)
+            stats.update({
+                "segmentation_s": round(t_seg, 3),
+                "asr_s": round(t_asr, 3),
+                "audio_s": round(len(audio) / WHISPER_SAMPLE_RATE, 3),
+                "raw_subtitles": len(subs),
+                "coalesced": True,
+            })
         if self.pipeline.postprocessor is not None:
             subs, san = self.pipeline.postprocessor.process(
                 subs, language=self.language)
@@ -143,6 +236,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--devices", type=int, default=None,
                    help="chips to shard over (default all; 1=single)")
+    p.add_argument("--coalesce-ms", type=float, default=30.0,
+                   help="micro-batching linger: concurrent requests' "
+                        "windows share engine batches (0 = serialize)")
     args = p.parse_args(argv)
 
     setup_logger("info")
@@ -159,7 +255,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                               devices=args.devices)
 
     global SERVICE
-    SERVICE = TranscriptionService(pipeline, args.language)
+    SERVICE = TranscriptionService(pipeline, args.language,
+                                   linger_ms=args.coalesce_ms)
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     logger.info("whisperjav-serve: http://%s:%d (model %s, hot engine)",
