@@ -15,11 +15,10 @@ token length, one compiled step, data-parallel batch sharding over ICI.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 from pathlib import Path
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -167,7 +166,6 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     import jax
     import jax.numpy as jnp
-    from whisperjav_tpu.models.whisper.config import WHISPER_SIZES
     from whisperjav_tpu.models.whisper.tokenizer import (
         WhisperTokenizer, find_tokenizer_files,
     )

@@ -24,7 +24,7 @@ host-side segment filter gate consumes.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax

@@ -12,7 +12,6 @@ generator churn.
 
 from __future__ import annotations
 
-import functools
 import zlib
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
