@@ -604,3 +604,29 @@ def test_pipeline_config_yaml_defaults(tmp_path):
     args = cli.parse_arguments(["x.wav", "--pipeline-config", str(cfgf),
                                 "--timestamp-mode", "aligner_only"])
     assert args.timestamp_mode == "aligner_only"
+
+
+def test_multihost_file_sharding(tiny_loader, tmp_path, monkeypatch):
+    """--multihost slices the file list deterministically round-robin
+    per process (SURVEY §2.2 DCN batch-job layout)."""
+    from whisperjav_tpu.parallel import multihost as mh
+    monkeypatch.setattr(mh, "initialize_distributed",
+                        lambda *a, **k: (1, 3))
+    wavs = [_wav(tmp_path, f"m{i}.wav", seconds=3.0) for i in range(5)]
+    out = tmp_path / "out"
+    rc = cli.main([str(tmp_path), "--multihost", "--mode", "faster",
+                   "--model", "tiny", "--output-dir", str(out)])
+    assert rc == 0
+    done = sorted(p.name for p in out.glob("*.whisperjav.srt"))
+    # process 1 of 3 over sorted m0..m4 → m1, m4
+    assert done == ["m1.ja.whisperjav.srt", "m4.ja.whisperjav.srt"]
+
+
+def test_shard_files_deterministic():
+    from whisperjav_tpu.parallel.multihost import shard_files
+    files = [f"f{i}" for i in range(10)]
+    slices = [shard_files(files, p, 4) for p in range(4)]
+    flat = sorted(x for s in slices for x in s)
+    assert flat == sorted(files)              # exact partition
+    assert shard_files(files, 2, 4) == slices[2]   # stable
+    assert shard_files(files, 0, 1) == files

@@ -334,6 +334,14 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="number of accelerator chips to shard window "
                         "batches over (default: all visible; 1 = "
                         "single-chip)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host batch job: initialize jax.distributed "
+                        "and take this process's slice of the file list "
+                        "(see parallel/multihost.py)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address")
+    p.add_argument("--num-hosts", type=int, default=None)
+    p.add_argument("--host-id", type=int, default=None)
     p.add_argument("--async-processing", action="store_true",
                    help="overlap host preprocessing with device decode")
     p.add_argument("--max-workers", type=int, default=2,
@@ -651,6 +659,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         logger.error("no media files found in inputs: %s", args.inputs)
         return 1
     logger.info("discovered %d media file(s)", len(media))
+
+    if args.multihost:
+        from whisperjav_tpu.parallel.multihost import (
+            initialize_distributed, shard_files,
+        )
+        proc, nprocs = initialize_distributed(
+            args.coordinator, args.num_hosts, args.host_id)
+        media = shard_files(media, proc, nprocs)
+        if not media:
+            logger.info("multihost: no files assigned to this process")
+            return 0
 
     output_dir = Path(args.output_dir)
     out_lang = "ja" if task == "transcribe" else "en"
