@@ -24,6 +24,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="one or more test SRT files")
     p.add_argument("--report", "-o", default=None,
                    help="write the report JSON here (default: stdout)")
+    p.add_argument("--full", action="store_true",
+                   help="deep report: cue matching, hallucination/miss "
+                        "buckets, worst decode windows, provenance "
+                        "(reads the run's sibling artifact JSONs)")
     args = p.parse_args(argv)
 
     from whisperjav_tpu.bench.metrics import evaluate
@@ -31,6 +35,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     from whisperjav_tpu.version import __version__
 
     gt = load_srt(args.ground_truth)
+
+    if args.full:
+        from whisperjav_tpu.bench.loader import load_run
+        from whisperjav_tpu.bench.report import (
+            analyze, print_summary, write_json_report,
+        )
+        runs = [load_run(Path(t)) for t in args.test]
+        analysis = analyze(gt, runs)
+        analysis["provenance"] = {
+            "tool": f"whisperjav-tpu-bench {__version__}",
+            "ground_truth": str(Path(args.ground_truth).resolve()),
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        print_summary(analysis)
+        if args.report:
+            write_json_report(analysis, Path(args.report))
+        return 0
     results = {}
     for test_path in args.test:
         test = load_srt(test_path)
