@@ -284,3 +284,20 @@ def test_no_repeat_ngram_decode_has_no_repeated_trigrams(tiny_model):
         seq = [t for t in toks[r, :lens[r]]]
         grams = [tuple(seq[i:i + 3]) for i in range(len(seq) - 2)]
         assert len(grams) == len(set(grams)), f"repeated 3-gram in row {r}"
+
+
+def test_carry_cache_decode_matches_default(tiny_model, monkeypatch):
+    """WJAV_CARRY_CACHE decode (cache as in-place scan carry) is
+    numerically identical to the default xs/ys cache path."""
+    import whisperjav_tpu.models.whisper.model as wm
+    params, xa = tiny_model
+    opts = DecodeOptions(max_new_tokens=14, cross_kv_int8=True)
+    ref = decode_greedy(params, TINY, xa, opts)
+    monkeypatch.setattr(wm, "_CARRY_CACHE", True)
+    jax.clear_caches()     # flag is trace-time, not in the jit key
+    out = decode_greedy(params, TINY, xa, opts)
+    assert np.array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
+    np.testing.assert_allclose(np.asarray(ref.avg_logprob),
+                               np.asarray(out.avg_logprob),
+                               atol=1e-4, rtol=1e-4)
+    jax.clear_caches()

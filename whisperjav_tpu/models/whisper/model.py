@@ -31,6 +31,13 @@ from whisperjav_tpu.models.whisper.config import WhisperConfig
 # import so the flag is trace-time static)
 _PALLAS_DECODE = os.environ.get("WJAV_PALLAS_DECODE", "0") == "1"
 
+# opt-in carry-cache decode: thread the FULL stacked self-KV cache
+# through the layer scan as a carry (in-place aliased) instead of
+# xs/ys (which stacks a full cache copy as scan output every step) —
+# docs/ADR-002 attribution probe suggests the cache shuffle is a large
+# share of the unattributed ~26 ms/step
+_CARRY_CACHE = os.environ.get("WJAV_CARRY_CACHE", "0") == "1"
+
 Params = Dict[str, Any]
 
 
@@ -313,11 +320,16 @@ def cross_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
 
 def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
                    cache_k, cache_v, pos, n_head, self_bias,
-                   cross_stacked=None):
+                   cross_stacked=None, carry_cache=None):
     """One decoder block at positions [pos, pos+q). Returns x and new cache.
 
     Caches are stored heads-merged (B, T, d); heads are split transiently
     for the attention einsums (see KVCache layout note).
+    ``carry_cache=(ck_full, cv_full, layer_idx)``: the full stacked
+    (L, B, T, d) caches carried through the layer scan — updates go
+    straight into the carried buffers (in-place aliased by XLA) and the
+    per-layer slab is sliced for attention; returns (x, ck_full,
+    cv_full) instead of per-layer slabs.
     """
     b, q_len, d = x.shape
     # --- causal self-attention over the cache ---
@@ -325,10 +337,21 @@ def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
     q = _split_heads(dense(h, layer_p["wq"], layer_p["bq"]), n_head)
     k_new = dense(h, layer_p["wk"])
     v_new = dense(h, layer_p["wv"], layer_p["bv"])
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype),
-                                           (0, pos, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype),
-                                           (0, pos, 0))
+    if carry_cache is not None:
+        ck_full, cv_full, l_idx = carry_cache
+        ck_full = jax.lax.dynamic_update_slice(
+            ck_full, k_new[None].astype(ck_full.dtype), (l_idx, 0, pos, 0))
+        cv_full = jax.lax.dynamic_update_slice(
+            cv_full, v_new[None].astype(cv_full.dtype), (l_idx, 0, pos, 0))
+        cache_k = jax.lax.dynamic_index_in_dim(ck_full, l_idx, 0,
+                                               keepdims=False)
+        cache_v = jax.lax.dynamic_index_in_dim(cv_full, l_idx, 0,
+                                               keepdims=False)
+    else:
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k_new.astype(cache_k.dtype), (0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v_new.astype(cache_v.dtype), (0, pos, 0))
     t_max = cache_k.shape[1]
     a = attention(q, _split_heads(cache_k.astype(q.dtype), n_head),
                   _split_heads(cache_v.astype(q.dtype), n_head), self_bias)
@@ -359,6 +382,8 @@ def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
     x = x + dense(jax.nn.gelu(dense(h, layer_p["w1"], layer_p["b1"]),
                               approximate=False),
                   layer_p["w2"], layer_p["b2"])
+    if carry_cache is not None:
+        return x, ck_full, cv_full
     return x, cache_k, cache_v
 
 
@@ -410,6 +435,25 @@ def decode_hidden(
         x, (new_k, new_v) = jax.lax.scan(
             body, x, (dec["blocks"], jnp.arange(n_layers),
                       cross.k_scale, cross.v_scale, cache.k, cache.v))
+    elif _CARRY_CACHE:
+        # self-KV cache rides the scan CARRY (in-place aliased) instead
+        # of xs/ys — the ys path stacks a full cache copy as scan output
+        # every decode step (~GBs/step of pure shuffle; docs/ADR-002)
+        n_layers = cache.k.shape[0]
+
+        def body(carry, xs):
+            h, ck_full, cv_full = carry
+            layer_p, l_idx, ck, cv, cks, cvs = xs
+            h, ck_full, cv_full = _decoder_block(
+                h, layer_p, ck, cv, cks, cvs, None, None,
+                pos, config.n_text_head, self_bias,
+                carry_cache=(ck_full, cv_full, l_idx))
+            return (h, ck_full, cv_full), None
+
+        (x, new_k, new_v), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v),
+            (dec["blocks"], jnp.arange(n_layers), cross.k, cross.v,
+             cross.k_scale, cross.v_scale))
     else:
         def body(h, xs):
             layer_p, ck, cv, cks, cvs, sk, sv = xs
