@@ -128,7 +128,7 @@ def schema() -> Dict:
         "enhancers": ["none", "dsp", "zipenhancer"],
         "merge_strategies": sorted(MERGE_STRATEGIES),
         "translate_providers": ["", "identity", "deepseek", "gpt", "claude",
-                                "gemini", "ollama"],
+                                "gemini", "ollama", "tpu-local"],
     }
 
 
