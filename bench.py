@@ -45,9 +45,13 @@ def main():
     config = WHISPER_SIZES[MODEL]
     params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     kv_bits = int(os.environ.get("WJAV_BENCH_KV_BITS", "8"))
-    options = DecodeOptions(max_new_tokens=DECODE_TOKENS,
-                            cross_kv_int8=kv_bits == 8,
-                            cross_kv_int4=kv_bits == 4)
+    options = DecodeOptions(
+        max_new_tokens=DECODE_TOKENS,
+        cross_kv_int8=kv_bits == 8,
+        cross_kv_int4=kv_bits == 4,
+        # production presets run the n-gram ban (factory.py); measure
+        # its cost with WJAV_BENCH_NGRAM=3
+        no_repeat_ngram_size=int(os.environ.get("WJAV_BENCH_NGRAM", "0")))
     engine = TranscriptionEngine(
         config, params, options=options,
         thresholds=QualityThresholds(temperatures=(0.0,)),
