@@ -495,9 +495,11 @@ def generate(params: Params, cfg: QwenASRConfig, mel: jax.Array,
     def body(s):
         logits = s.cur
         if repetition_penalty != 1.0:
-            seen = jnp.zeros((b, cfg.vocab_size), jnp.bool_).at[
-                jnp.arange(b)[:, None], s.tokens].set(True)
-            seen = seen.at[:, cfg.eos_id].set(False)
+            # scatter-free membership mask (TPU serializes (B, V)
+            # scatters — ~ms/step; see whisper decode.py / ADR-002)
+            vid = jax.lax.broadcasted_iota(jnp.int32, (b, cfg.vocab_size), 1)
+            seen = jnp.any(s.tokens[:, :, None] == vid[:, None, :], axis=1)
+            seen &= vid != cfg.eos_id
             pen = jnp.where(logits > 0, logits / repetition_penalty,
                             logits * repetition_penalty)
             logits = jnp.where(seen, pen, logits)
@@ -579,9 +581,11 @@ def generate_text(params: Params, cfg: QwenASRConfig,
     def body(s):
         logits = s.cur
         if repetition_penalty != 1.0:
-            seen = jnp.zeros((b, cfg.vocab_size), jnp.bool_).at[
-                jnp.arange(b)[:, None], s.tokens].set(True)
-            seen = seen.at[:, cfg.eos_id].set(False)
+            # scatter-free membership mask (TPU serializes (B, V)
+            # scatters — ~ms/step; see whisper decode.py / ADR-002)
+            vid = jax.lax.broadcasted_iota(jnp.int32, (b, cfg.vocab_size), 1)
+            seen = jnp.any(s.tokens[:, :, None] == vid[:, None, :], axis=1)
+            seen &= vid != cfg.eos_id
             pen = jnp.where(logits > 0, logits / repetition_penalty,
                             logits * repetition_penalty)
             logits = jnp.where(seen, pen, logits)
