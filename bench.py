@@ -1,6 +1,6 @@
 """Benchmark: Whisper large-v2 batched transcription throughput per chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Baseline: the reference's headline number — faster-whisper (CTranslate2)
@@ -12,15 +12,37 @@ Weights are random (no network egress): throughput is weight-value
 independent — the decode loop runs its full token budget per window,
 which slightly *understates* steady-state RTF versus real weights that
 emit EOT early.
+
+Survivability (round-2 lesson: the driver run timed out, rc=124, and the
+round shipped no number). Two distinct hang modes exist on this host and
+both are defended against:
+
+  * TPU claim wedge — ``import jax`` can block indefinitely inside the
+    axon tunnel's device claim (observed: a fresh process hangs with
+    ~0 CPU minutes after the previous one exited cleanly). No in-process
+    code can recover from this, so bench.py is a jax-free PARENT that
+    spawns the measurement CHILD (``bench.py --child``) and kills +
+    respawns it whenever it goes WJAV_BENCH_STALL_S (default 150 s)
+    without emitting a progress marker — a fresh process makes a fresh
+    claim with a fresh session id.
+  * slow first compile — defended by a persistent XLA compilation cache
+    under .jax_cache/ (the first run of a round pays the 2-4 min
+    large-v2 compile once; reruns, including the driver's end-of-round
+    run, skip it).
+
+The child additionally time-boxes its measurement loop and runs a
+watchdog thread + SIGTERM handler that emit the best partial measurement
+(completed iterations only — real measurements, never extrapolations)
+before the budget expires.
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
+import threading
 import time
-
-import numpy as np
-
 
 BASELINE_RTF = 15.0          # CUDA faster-whisper large-v2 on RTX 4090
 MODEL = os.environ.get("WJAV_BENCH_MODEL", "large-v2")
@@ -29,11 +51,167 @@ MODEL = os.environ.get("WJAV_BENCH_MODEL", "large-v2")
 BATCH = int(os.environ.get("WJAV_BENCH_BATCH", "64"))
 DECODE_TOKENS = 128          # representative tokens per 30 s JA window
 TIMED_BATCHES = int(os.environ.get("WJAV_BENCH_ITERS", "8"))
+MIN_TIMED_BATCHES = 2
+# whole-process wall budget; keep under any plausible driver timeout
+BUDGET_S = float(os.environ.get("WJAV_BENCH_BUDGET_S", "480"))
+STALL_S = float(os.environ.get("WJAV_BENCH_STALL_S", "150"))
+WATCHDOG_MARGIN_S = 25.0
 
 
-def main():
+# ---------------------------------------------------------------- parent
+def parent() -> int:
+    """Spawn the measurement child; respawn on stall; relay its JSON.
+
+    Imports NO jax — a wedged TPU claim can only take down the child.
+    """
+    t0 = time.time()
+    deadline = t0 + BUDGET_S - WATCHDOG_MARGIN_S
+    attempt = 0
+    while time.time() < deadline - 30:
+        attempt += 1
+        remaining = deadline - time.time()
+        env = dict(os.environ)
+        env["WJAV_BENCH_BUDGET_S"] = str(max(remaining, 60))
+        print(f"bench[parent]: attempt {attempt}, {remaining:.0f}s left",
+              file=sys.stderr, flush=True)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+
+        last_progress = time.time()
+        stderr_lines = []
+
+        def pump_stderr():
+            nonlocal last_progress
+            for raw in proc.stderr:
+                line = raw.decode("utf-8", "replace").rstrip()
+                stderr_lines.append(line)
+                print(line, file=sys.stderr, flush=True)
+                last_progress = time.time()
+
+        th = threading.Thread(target=pump_stderr, daemon=True)
+        th.start()
+
+        stalled = False
+        while proc.poll() is None:
+            time.sleep(1.0)
+            now = time.time()
+            if now - last_progress > STALL_S:
+                stalled = True
+                print(f"bench[parent]: child stalled {STALL_S:.0f}s "
+                      "(claim wedge?) — killing for a fresh attempt",
+                      file=sys.stderr, flush=True)
+                proc.kill()
+                break
+            if now > deadline:
+                # let the child's own watchdog emit; give it a moment
+                print("bench[parent]: budget reached; waiting briefly "
+                      "for the child's partial emit", file=sys.stderr,
+                      flush=True)
+                try:
+                    proc.wait(timeout=WATCHDOG_MARGIN_S)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                break
+        out = proc.stdout.read().decode("utf-8", "replace")
+        th.join(timeout=2.0)
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                print(line, flush=True)
+                return 0
+        if not stalled and time.time() > deadline:
+            break
+    print("bench[parent]: no measurement produced inside the budget",
+          file=sys.stderr, flush=True)
+    return 3
+
+
+# ---------------------------------------------------------------- child
+_T_START = time.time()
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+# mutated by the timed loop, read by the watchdog/SIGTERM emitters
+_STATE = {"iters": 0, "loop_elapsed": 0.0}
+
+
+def _progress(msg: str) -> None:
+    """Stall-detector heartbeat: any stderr line resets the parent."""
+    print(f"bench: {msg} (+{time.time() - _T_START:.1f}s)",
+          file=sys.stderr, flush=True)
+
+
+def _emit(note=""):
+    """Print the one JSON line from completed timed iterations (once)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return False
+        iters = _STATE["iters"]
+        wall = _STATE["loop_elapsed"]
+        if iters < 1 or wall <= 0:
+            _progress(f"no completed timed iteration to report ({note})")
+            return False
+        rtf = (iters * BATCH * 30.0) / wall
+        print(json.dumps({
+            "metric": f"whisper_{MODEL.replace('-', '_')}_rtf_per_chip",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / BASELINE_RTF, 3),
+        }), flush=True)
+        if note:
+            _progress(f"emitted after {iters} iters ({note})")
+        _EMITTED = True
+        return True
+
+
+def _watchdog(budget: float):
+    delay = _T_START + budget - WATCHDOG_MARGIN_S - time.time()
+    if delay > 0:
+        time.sleep(delay)
+    if _EMITTED:
+        return
+    # the main thread may be wedged inside a compile (C code — a Python
+    # signal handler would not run); emit from here and hard-exit
+    if _emit(note="watchdog at budget"):
+        os._exit(0)
+    _progress("watchdog fired before any timed iteration")
+    os._exit(3)
+
+
+def _on_sigterm(signum, frame):
+    if _emit(note="SIGTERM"):
+        os._exit(0)
+    os._exit(4)
+
+
+def child():
+    budget = float(os.environ.get("WJAV_BENCH_BUDGET_S", str(BUDGET_S)))
+    signal.signal(signal.SIGTERM, _on_sigterm)
+    threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
+    _progress("child starting (importing jax)")
+
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: reruns (and the driver's end-of-round
+    # run) skip the 2-4 min large-v2 compile
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache is an optimization, never a blocker
+        _progress(f"compilation cache unavailable: {e}")
+
+    devs = jax.devices()   # first tunnel contact — the claim happens here
+    _progress(f"devices ok: {devs}")
+
     from whisperjav_tpu.models.whisper.config import WHISPER_SIZES
     from whisperjav_tpu.models.whisper.decode import DecodeOptions
     from whisperjav_tpu.models.whisper.model import init_params
@@ -44,6 +222,7 @@ def main():
 
     config = WHISPER_SIZES[MODEL]
     params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    _progress("params initialized")
     kv_bits = int(os.environ.get("WJAV_BENCH_KV_BITS", "8"))
     options = DecodeOptions(
         max_new_tokens=DECODE_TOKENS,
@@ -57,6 +236,7 @@ def main():
         thresholds=QualityThresholds(temperatures=(0.0,)),
         batch_size=BATCH, int8_weights=True,
     )
+    _progress("engine built")
 
     rng = np.random.default_rng(0)
     t = np.arange(N_SAMPLES) / 16000.0
@@ -70,10 +250,14 @@ def main():
     # block through the axon tunnel — CLAUDE.md timing rule)
     res = engine.decode_batch(audio, 0.0, 0)
     np.asarray(res.tokens)
+    _progress("warmup (compile) done")
 
     # steady-state loop mirrors transcribe_windows' double buffering:
     # batch i+1's host->device upload is dispatched before batch i's
-    # tokens are drained, so the transfer streams behind compute
+    # tokens are drained, so the transfer streams behind compute.
+    # Time-boxed: stop once the budget is nearly spent and report the
+    # iterations that completed.
+    loop_deadline = _T_START + budget - 2 * WATCHDOG_MARGIN_S
     dev = engine.upload_audio(audio)
     t0 = time.time()
     for i in range(TIMED_BATCHES):
@@ -81,17 +265,17 @@ def main():
         res = engine.decode_batch(audio, 0.0, i + 1, device_audio=dev)
         np.asarray(res.tokens)  # force per-iteration materialization
         dev = nxt
-    wall = time.time() - t0
-
-    audio_seconds = TIMED_BATCHES * BATCH * 30.0
-    rtf = audio_seconds / wall
-    print(json.dumps({
-        "metric": f"whisper_{MODEL.replace('-', '_')}_rtf_per_chip",
-        "value": round(rtf, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / BASELINE_RTF, 3),
-    }))
+        _STATE["iters"] = i + 1
+        _STATE["loop_elapsed"] = time.time() - t0
+        _progress(f"iter {i + 1}/{TIMED_BATCHES}")
+        if (time.time() > loop_deadline
+                and _STATE["iters"] >= MIN_TIMED_BATCHES):
+            _progress(f"time-boxed after {i + 1}/{TIMED_BATCHES} iters")
+            break
+    _emit()
 
 
 if __name__ == "__main__":
-    sys.exit(main() or 0)
+    if "--child" in sys.argv:
+        sys.exit(child() or 0)
+    sys.exit(parent())

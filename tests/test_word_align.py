@@ -100,3 +100,73 @@ def test_engine_word_timestamp_refinement():
             assert s.start <= s.end
             if s.start < w.duration:   # in-window: refinement stays inside
                 assert s.end <= w.duration + 0.5 + 1e-6
+
+
+# ---------------------------------------------------------------- heads
+def test_alignment_heads_blob_roundtrip():
+    """openai _ALIGNMENT_HEADS format: base85(gzip(bool (L, H) mask))."""
+    from whisperjav_tpu.models.whisper.alignment_heads import (
+        decode_alignment_heads_blob, encode_alignment_heads_blob,
+    )
+    heads = ((2, 2), (3, 0), (3, 5))
+    blob = encode_alignment_heads_blob(heads, 4, 6)
+    assert decode_alignment_heads_blob(blob, 4, 6) == heads
+    # str input accepted too
+    assert decode_alignment_heads_blob(blob.decode("ascii"), 4, 6) == heads
+    with pytest.raises(ValueError):
+        decode_alignment_heads_blob(blob, 8, 6)   # wrong architecture
+
+
+def test_bundled_table_covers_all_sizes():
+    from whisperjav_tpu.models.whisper.alignment_heads import (
+        bundled_alignment_heads,
+    )
+    from whisperjav_tpu.models.whisper.config import WHISPER_SIZES
+    for name, cfg in WHISPER_SIZES.items():
+        heads = bundled_alignment_heads(name)
+        assert heads, f"no bundled alignment heads for {name}"
+        for l, h in heads:
+            assert 0 <= l < cfg.n_text_layer, (name, l)
+            assert 0 <= h < cfg.n_text_head, (name, h)
+
+
+def test_bundled_table_name_normalization():
+    from whisperjav_tpu.models.whisper.alignment_heads import (
+        bundled_alignment_heads,
+    )
+    direct = bundled_alignment_heads("large-v2")
+    assert bundled_alignment_heads("/ckpt/whisper-large-v2") == direct
+    assert bundled_alignment_heads("openai/whisper-large-v2") == direct
+    assert bundled_alignment_heads("not-a-model") is None
+
+
+def test_resolution_order(tmp_path):
+    """generation_config > checkpoint sidecar > bundled table."""
+    import json
+
+    from whisperjav_tpu.models.whisper.alignment_heads import (
+        resolve_alignment_heads,
+    )
+    # 1. generation_config wins
+    assert resolve_alignment_heads(
+        "large-v2", 32, 20,
+        generation_config_heads=[[1, 1]]) == ((1, 1),)
+    # 2. sidecar file next
+    (tmp_path / "alignment_heads.json").write_text(
+        json.dumps({"alignment_heads": [[2, 3], [4, 5]]}))
+    assert resolve_alignment_heads(
+        "large-v2", 32, 20, checkpoint_dir=tmp_path) == ((2, 3), (4, 5))
+    # 3. bundled table as fallback
+    assert resolve_alignment_heads("large-v2", 32, 20)
+    # out-of-range entries dropped, empty result -> None
+    assert resolve_alignment_heads(
+        "x", 2, 2, generation_config_heads=[[9, 9]]) is None
+
+
+def test_load_model_attaches_bundled_heads():
+    from whisperjav_tpu.pipelines.factory import load_model
+    cfg, _ = load_model("tiny")
+    assert cfg.alignment_heads
+    mask = default_head_mask(cfg)
+    # the mask follows the table, not the top-half fallback
+    assert mask[2, 2] > 0 and mask[0, 0] == 0

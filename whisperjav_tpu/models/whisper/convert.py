@@ -9,6 +9,7 @@ stacked on a new leading axis.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Mapping
 
 import numpy as np
@@ -124,13 +125,21 @@ def load_pretrained(model_name_or_path: str, dtype=np.float32):
     hf = transformers.WhisperForConditionalGeneration.from_pretrained(
         model_name_or_path)
     config = config_from_hf(hf.config)
-    # per-model word-alignment heads ship in the checkpoint's generation
-    # config (the data openai-whisper encodes as _ALIGNMENT_HEADS blobs);
+    # per-model word-alignment heads: checkpoint generation_config first
+    # (the data openai-whisper encodes as _ALIGNMENT_HEADS blobs), then a
+    # checkpoint-local alignment_heads.json, then the bundled table —
     # word_align.py uses them instead of the top-half-layers fallback
-    heads = getattr(hf.generation_config, "alignment_heads", None)
+    from whisperjav_tpu.models.whisper.alignment_heads import (
+        resolve_alignment_heads,
+    )
+    ckpt_dir = (model_name_or_path
+                if os.path.isdir(str(model_name_or_path)) else None)
+    heads = resolve_alignment_heads(
+        config.name, config.n_text_layer, config.n_text_head,
+        generation_config_heads=getattr(
+            hf.generation_config, "alignment_heads", None),
+        checkpoint_dir=ckpt_dir)
     if heads:
-        config = dataclasses.replace(
-            config,
-            alignment_heads=tuple((int(l), int(h)) for l, h in heads))
+        config = dataclasses.replace(config, alignment_heads=heads)
     params = params_from_hf_state_dict(hf.model.state_dict(), config, dtype)
     return config, params

@@ -38,6 +38,16 @@ def load_model(model_name: str, checkpoint: Optional[str] = None,
         raise ValueError(f"unknown model {model_name!r}; "
                          f"choose from {sorted(WHISPER_SIZES)}")
     config = WHISPER_SIZES[model_name]
+    # named sizes get the bundled per-model word-alignment heads (real
+    # checkpoints override via generation_config — convert.load_pretrained)
+    from whisperjav_tpu.models.whisper.alignment_heads import (
+        resolve_alignment_heads,
+    )
+    heads = resolve_alignment_heads(
+        model_name, config.n_text_layer, config.n_text_head)
+    if heads:
+        import dataclasses
+        config = dataclasses.replace(config, alignment_heads=heads)
     logger.warning("no checkpoint provided — using random-init %s weights "
                    "(text output will not be meaningful)", model_name)
     params = init_params(config, jax.random.PRNGKey(0), dtype=dtype)
