@@ -449,6 +449,46 @@ def params_from_torch_state_dict(
     }
 
 
+#: Vendor prefixes seen on published generator state dicts (ModelScope
+#: wraps the generator in a decorator module; ONNX exports keep the
+#: torch names).  ``params_from_vendor`` strips the first that matches.
+VENDOR_PREFIXES = ("generator.", "model.generator.", "model.",
+                   "denoise_net.", "module.")
+
+
+def _strip_vendor_prefix(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    for pre in VENDOR_PREFIXES:
+        if any(k.startswith(pre) for k in sd):
+            return {k[len(pre):] if k.startswith(pre) else k: v
+                    for k, v in sd.items()}
+    return dict(sd)
+
+
+def params_from_vendor(
+    sd: Mapping[str, Any], cfg: ZipConfig = ZIP_BASE, dtype=np.float32,
+) -> Dict:
+    """Vendor state dict (ModelScope torch ``.bin`` contents or ONNX
+    initializers) → params, stripping wrapper prefixes first.
+
+    Reference loads the same tensors through modelscope / onnxruntime
+    (reference: whisperjav/modules/speech_enhancement/backends/
+    zipenhancer.py:164-258).
+    """
+    return params_from_torch_state_dict(
+        _strip_vendor_prefix(sd), cfg, dtype)
+
+
+def params_from_onnx(src, cfg: ZipConfig = ZIP_BASE,
+                     dtype=np.float32) -> Dict:
+    """Load from an ONNX export (e.g. the ``ZipEnhancer-se-16k-base-onnx``
+    file the reference's ONNX mode downloads): torch.onnx.export keeps
+    state-dict names as initializer names, so the file's initializers
+    ARE the vendor state dict."""
+    from whisperjav_tpu.utils.onnx_io import read_initializers
+
+    return params_from_vendor(read_initializers(src), cfg, dtype)
+
+
 # ---------------------------------------------------------------------------
 # npz round-trip
 # ---------------------------------------------------------------------------

@@ -153,5 +153,116 @@ def load_params(path: str) -> Dict:
     return {k: jnp.asarray(data[k]) for k in data.files}
 
 
+# ---------------------------------------------------------------------------
+# vendor ONNX binding (reference backend consumes the ten-vad model file
+# through onnxruntime; we bind its tensors directly into the pytree)
+# ---------------------------------------------------------------------------
+
+def params_from_onnx(src, dtype=jnp.float32) -> Dict:
+    """Bind an ONNX VAD model file's weights into our param pytree.
+
+    Two vendor layouts are handled (tests/test_onnx_io.py exercises
+    both against files synthesized in the exact vendor wire format):
+
+    * **torch-export naming** — ``torch.onnx.export`` keeps state-dict
+      names as initializer names: ``conv1.weight``, ``conv2.weight``,
+      ``lstm.weight_ih_l0`` / ``weight_hh_l0`` / ``bias_*_l0`` (ifgo
+      gate rows, exactly our layout) and ``out.weight`` / ``out.bias``.
+    * **native ONNX ops** — a graph using the ONNX ``LSTM`` operator
+      stores W (1, 4H, I), R (1, 4H, H), B (1, 8H) with the spec's
+      ``iofc`` gate order; ``Conv`` and ``Gemm``/``MatMul`` nodes carry
+      their weights as initializer inputs.  Binding is structural
+      (topology + shape), so it is naming-independent.
+
+    Raises ``ValueError`` when the graph's shapes don't match this
+    architecture (hop-256 frame VAD with a single 64-wide LSTM).
+    """
+    from whisperjav_tpu.utils.onnx_io import (
+        lstm_reorder_gates, read_onnx, topo_order,
+    )
+
+    model = read_onnx(src)
+    init = model.graph.initializers
+
+    def a(x):
+        return jnp.asarray(np.asarray(x, np.float32), dtype)
+
+    if "lstm.weight_ih_l0" in init:                     # torch export
+        return {
+            "conv1_w": a(init["conv1.weight"]),
+            "conv1_b": a(init["conv1.bias"]),
+            "conv2_w": a(init["conv2.weight"]),
+            "conv2_b": a(init["conv2.bias"]),
+            "lstm_wi": a(init["lstm.weight_ih_l0"]),
+            "lstm_wh": a(init["lstm.weight_hh_l0"]),
+            "lstm_bi": a(init["lstm.bias_ih_l0"]),
+            "lstm_bh": a(init["lstm.bias_hh_l0"]),
+            "out_w": a(init["out.weight"]),
+            "out_b": a(init["out.bias"]),
+        }
+
+    # structural: find the LSTM op, the Convs before it, the Gemm after
+    nodes = topo_order(model.graph)
+    lstms = [n for n in nodes if n.op_type == "LSTM"]
+    if not lstms:
+        raise ValueError(
+            "ONNX graph has neither torch-export names nor an LSTM op; "
+            f"initializers: {sorted(init)[:8]}")
+    lstm = lstms[0]
+    w = np.asarray(init[lstm.inputs[1]], np.float32)    # (1, 4H, I)
+    r = np.asarray(init[lstm.inputs[2]], np.float32)    # (1, 4H, H)
+    hidden = r.shape[-1]
+    if w.ndim == 3:
+        w, r = w[0], r[0]
+    bi = bh = np.zeros((4 * hidden,), np.float32)
+    if len(lstm.inputs) > 3 and lstm.inputs[3] in init:
+        b = np.asarray(init[lstm.inputs[3]], np.float32).reshape(-1)
+        bi, bh = b[:4 * hidden], b[4 * hidden:8 * hidden]
+
+    convs = []
+    for n in nodes:
+        if n.op_type == "LSTM":
+            break
+        if n.op_type == "Conv":
+            cw = np.asarray(init[n.inputs[1]], np.float32)
+            cb = (np.asarray(init[n.inputs[2]], np.float32)
+                  if len(n.inputs) > 2 and n.inputs[2] in init
+                  else np.zeros((cw.shape[0],), np.float32))
+            convs.append((cw, cb))
+    if len(convs) != 2:
+        raise ValueError(
+            f"expected 2 Conv nodes before the LSTM, found {len(convs)}")
+
+    ow, ob = None, np.zeros((1,), np.float32)
+    for n in nodes[nodes.index(lstm) + 1:]:
+        if n.op_type in ("Gemm", "MatMul"):
+            ow = np.asarray(init[n.inputs[1]], np.float32)
+            if n.op_type == "Gemm":
+                if not n.attrs.get("transB", 0):
+                    ow = ow.T                           # -> (out, in)
+                if len(n.inputs) > 2 and n.inputs[2] in init:
+                    ob = np.asarray(init[n.inputs[2]],
+                                    np.float32).reshape(-1)
+            elif ow.shape[0] == hidden:                 # (in, out)
+                ow = ow.T
+        elif n.op_type == "Add" and ow is not None:
+            for src_name in n.inputs:
+                if src_name in init:
+                    ob = np.asarray(init[src_name],
+                                    np.float32).reshape(-1)
+    if ow is None:
+        raise ValueError("no Gemm/MatMul output head after the LSTM")
+
+    return {
+        "conv1_w": a(convs[0][0]), "conv1_b": a(convs[0][1]),
+        "conv2_w": a(convs[1][0]), "conv2_b": a(convs[1][1]),
+        "lstm_wi": a(lstm_reorder_gates(w, hidden)),
+        "lstm_wh": a(lstm_reorder_gates(r, hidden)),
+        "lstm_bi": a(lstm_reorder_gates(bi, hidden)),
+        "lstm_bh": a(lstm_reorder_gates(bh, hidden)),
+        "out_w": a(ow), "out_b": a(ob),
+    }
+
+
 def save_params(path: str, params: Dict) -> None:
     np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
