@@ -212,6 +212,17 @@ def child():
     devs = jax.devices()   # first tunnel contact — the claim happens here
     _progress(f"devices ok: {devs}")
 
+    # The claim succeeded, so the claim-wedge failure mode is behind us —
+    # but the phases ahead (engine build, 2-4 min warmup compile) are
+    # legitimately silent for longer than the parent's stall threshold.
+    # A heartbeat keeps the parent from killing a healthy compile; the
+    # child's own watchdog remains the guard against post-claim hangs.
+    def _heartbeat():
+        while not _EMITTED:
+            time.sleep(min(30.0, STALL_S / 4))
+            _progress("heartbeat")
+    threading.Thread(target=_heartbeat, daemon=True).start()
+
     from whisperjav_tpu.models.whisper.config import WHISPER_SIZES
     from whisperjav_tpu.models.whisper.decode import DecodeOptions
     from whisperjav_tpu.models.whisper.model import init_params
@@ -221,7 +232,13 @@ def child():
     )
 
     config = WHISPER_SIZES[MODEL]
-    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    # One jitted program: eager init dispatches hundreds of ops, each
+    # paying a tunnel round trip (~5 min for large-v2); jitted it is one
+    # round trip + on-device compute (seconds, and compile-cached).
+    params = jax.jit(
+        lambda k: init_params(config, k, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
     _progress("params initialized")
     kv_bits = int(os.environ.get("WJAV_BENCH_KV_BITS", "8"))
     options = DecodeOptions(
