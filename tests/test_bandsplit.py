@@ -62,6 +62,48 @@ def test_heavy_backends_graceful_without_weights():
     assert create_enhancer("clearvoice").get_preferred_sample_rate() == 48000
 
 
+def test_bs_roformer_backend_checkpoint_roundtrip(tmp_path):
+    """Backend loads an .npz checkpoint of the checkpoint-faithful
+    model and enhances through resample/chunk plumbing."""
+    from whisperjav_tpu.models.enhancement import bs_roformer
+
+    cfg = bs_roformer.BSR_TEST
+    params = bs_roformer.init_params(cfg, jax.random.PRNGKey(0))
+    ckpt = tmp_path / "bsr.npz"
+    bs_roformer.save_params(str(ckpt), params, cfg)
+
+    enh = create_enhancer("bs-roformer", weights=str(ckpt),
+                          chunk_s=0.05, crossfade_s=0.01)
+    assert enh.get_preferred_sample_rate() == cfg.sample_rate
+    audio = (np.random.default_rng(0).standard_normal(3200)
+             .astype(np.float32) * 0.1)
+    res = enh.enhance(audio, 16_000)
+    assert res.success and res.stats["engine"] == "bs_roformer"
+    assert res.audio.shape == audio.shape
+    assert np.isfinite(res.audio).all()
+
+
+def test_clearvoice_frcrn_backend(tmp_path):
+    """model=FRCRN_SE_16K binds the checkpoint-faithful FRCRN engine."""
+    from whisperjav_tpu.models.enhancement import frcrn
+
+    cfg = frcrn.FRCRN_TEST
+    params = frcrn.init_params(cfg, jax.random.PRNGKey(0))
+    ckpt = tmp_path / "frcrn.npz"
+    frcrn.save_params(str(ckpt), params, cfg)
+
+    enh = create_enhancer("clearvoice", model="FRCRN_SE_16K",
+                          weights=str(ckpt), chunk_s=0.1,
+                          crossfade_s=0.02)
+    assert enh.get_preferred_sample_rate() == 16_000
+    audio = (np.random.default_rng(1).standard_normal(3200)
+             .astype(np.float32) * 0.1)
+    res = enh.enhance(audio, 16_000)
+    assert res.success and res.stats["engine"] == "frcrn"
+    assert res.audio.shape == audio.shape
+    assert np.isfinite(res.audio).all()
+
+
 def test_cross_subtitle_processor():
     from whisperjav_tpu.modules.sanitize.cross_subtitle import (
         CrossSubtitleProcessor,
