@@ -78,15 +78,26 @@ class TranscriptionEngine:
         self.word_timestamps = word_timestamps
         self.tokenizer = tokenizer or WhisperTokenizer(config)
         self.compute_dtype = compute_dtype
-        self.params = jax.tree.map(
-            lambda x: jnp.asarray(x, compute_dtype)
-            if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
-            params)
-        if int8_weights:
-            from whisperjav_tpu.models.whisper.quant import (
-                quantize_decoder_weights,
-            )
-            self.params = quantize_decoder_weights(self.params)
+        # Weight preparation (dtype cast + optional int8 quantization) is
+        # ONE jitted program: per-leaf eager dispatch pays a tunnel round
+        # trip per op, and inspecting dtypes via np.asarray() downloaded
+        # every weight through the ~37 MB/s tunnel (~400 s for large-v2).
+        # jnp.issubdtype on the abstract dtype transfers nothing.
+        def _prepare(tree):
+            def cast(x):
+                if jnp.issubdtype(x.dtype, jnp.floating):
+                    return x.astype(compute_dtype)
+                return x
+
+            tree = jax.tree.map(cast, tree)
+            if int8_weights:
+                from whisperjav_tpu.models.whisper.quant import (
+                    quantize_decoder_weights,
+                )
+                tree = quantize_decoder_weights(tree)
+            return tree
+
+        self.params = jax.jit(_prepare)(params)
 
         config_ = config
         options_ = options
