@@ -29,6 +29,7 @@ def _tiny_whisper_hf():
     return transformers.WhisperForConditionalGeneration(cfg).eval()
 
 
+@pytest.mark.slow
 def test_whisper_checkpoint_dir_roundtrip(tmp_path):
     """save_pretrained dir → factory.load_model → logit parity vs the
     torch model that wrote the directory."""

@@ -133,6 +133,7 @@ def test_main_ensemble(tmp_path, tiny_loader):
     assert stats["ok"] + stats["degraded"] == 1
 
 
+@pytest.mark.slow
 def test_cli_path_shards_over_mesh(tiny_loader, tmp_path, monkeypatch):
     """The CLI path (not just the engine) auto-builds a data mesh over all
     visible devices and pads the global batch to a mesh multiple
@@ -158,6 +159,7 @@ def test_cli_path_shards_over_mesh(tiny_loader, tmp_path, monkeypatch):
     assert (tmp_path / "out").glob("*.srt")
 
 
+@pytest.mark.slow
 def test_cli_devices_flag_forces_single_chip(tiny_loader, tmp_path,
                                              monkeypatch):
     import whisperjav_tpu.pipelines.factory as factory
@@ -177,6 +179,7 @@ def test_cli_devices_flag_forces_single_chip(tiny_loader, tmp_path,
     assert built["mesh"] is None
 
 
+@pytest.mark.slow
 def test_ensemble_cli_overrides_reach_passes(tiny_loader, tmp_path,
                                              monkeypatch):
     """--beam-size (and friends) must reach BOTH ensemble pass configs
@@ -240,6 +243,7 @@ def test_decoupled_flags_round_trip(tiny_loader, tmp_path, monkeypatch):
     assert type(dp.framer).__name__ == "FullSceneFramer"
 
 
+@pytest.mark.slow
 def test_per_backend_kv_args(tiny_loader, tmp_path, monkeypatch):
     """--vad-arg/--scene-arg KEY=VALUE pairs reach the pipeline config
     with type coercion (reference factory param schemas)."""
@@ -267,6 +271,7 @@ def test_per_backend_kv_args(tiny_loader, tmp_path, monkeypatch):
     assert cfg.scene_kwargs["max_scene_s"] == 120.5
 
 
+@pytest.mark.slow
 def test_signatures_added_by_default(tmp_path, tiny_loader):
     """Technical signature cue appended, credit cue prepended (reference:
     main.py:698-770 add_signatures_to_srt)."""
@@ -295,6 +300,7 @@ def test_signatures_added_by_default(tmp_path, tiny_loader):
     assert all("WhisperJAV-TPU" not in s.text for s in subs2)
 
 
+@pytest.mark.slow
 def test_output_format_vtt_removes_srt(tmp_path, tiny_loader):
     wav = _wav(tmp_path, "fmt.wav")
     out = tmp_path / "out"
@@ -305,6 +311,7 @@ def test_output_format_vtt_removes_srt(tmp_path, tiny_loader):
     assert (out / "fmt.ja.whisperjav.vtt").exists()
 
 
+@pytest.mark.slow
 def test_keep_temp_writes_raw_srt(tmp_path, tiny_loader):
     wav = _wav(tmp_path, "kt.wav")
     out = tmp_path / "out"
@@ -314,6 +321,7 @@ def test_keep_temp_writes_raw_srt(tmp_path, tiny_loader):
     assert (out / "kt.ja.whisperjav.raw.srt").exists()
 
 
+@pytest.mark.slow
 def test_dot_overrides_reach_config(tmp_path, tiny_loader, monkeypatch):
     import whisperjav_tpu.pipelines.factory as factory
     seen = {}
@@ -350,6 +358,7 @@ def test_dot_overrides_unknown_key_raises():
         apply_dot_overrides(cfg, {"nope": 1})
 
 
+@pytest.mark.slow
 def test_speech_pad_ms_maps_to_vad_kwargs(tmp_path, tiny_loader, monkeypatch):
     seen = {}
     import whisperjav_tpu.pipelines.factory as factory
@@ -388,6 +397,7 @@ def test_reference_alias_flags_parse():
     assert args.no_vad and args.task == "translate"
 
 
+@pytest.mark.slow
 def test_hf_flags_reach_transformers_config(tmp_path, tiny_loader,
                                             monkeypatch):
     seen = {}
@@ -413,6 +423,7 @@ def test_hf_flags_reach_transformers_config(tmp_path, tiny_loader,
     assert cfg.sensitivity.temperatures == (0.3,)
 
 
+@pytest.mark.slow
 def test_ensemble_per_pass_flags(tiny_loader, tmp_path, monkeypatch):
     """--pass1-/--pass2- deep overrides configure each pass independently."""
     from whisperjav_tpu.ensemble import orchestrator as orch_mod
@@ -537,6 +548,7 @@ def test_step_down_attempts_zero_disables(tiny_loader, tmp_path,
     assert built["decoupled"].step_down.enabled is False
 
 
+@pytest.mark.slow
 def test_pass_params_json_reach_configs(tiny_loader, tmp_path, monkeypatch):
     """--passN-params JSON dicts act as per-pass config overrides
     (reference: main.py:202-207 custom mode)."""
@@ -572,6 +584,7 @@ def test_pass_pipeline_alias_parses():
     assert args.pass2_mode == "faster"
 
 
+@pytest.mark.slow
 def test_asr_component_and_features_map(tmp_path, monkeypatch):
     """--asr/--features reference component spellings map onto
     mode/scene-backend (reference ensemble resolver, main.py:178-183)."""
@@ -606,6 +619,7 @@ def test_pipeline_config_yaml_defaults(tmp_path):
     assert args.timestamp_mode == "aligner_only"
 
 
+@pytest.mark.slow
 def test_multihost_file_sharding(tiny_loader, tmp_path, monkeypatch):
     """--multihost slices the file list deterministically round-robin
     per process (SURVEY §2.2 DCN batch-job layout)."""

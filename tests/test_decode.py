@@ -31,6 +31,7 @@ def tiny_model():
     return params, xa
 
 
+@pytest.mark.slow
 def test_greedy_matches_torch_reference_loop(tiny_model):
     """Our while_loop greedy (no filters) == a straight argmax loop."""
     params, xa = tiny_model
@@ -286,6 +287,7 @@ def test_no_repeat_ngram_decode_has_no_repeated_trigrams(tiny_model):
         assert len(grams) == len(set(grams)), f"repeated 3-gram in row {r}"
 
 
+@pytest.mark.slow
 def test_carry_cache_decode_matches_default(tiny_model, monkeypatch):
     """WJAV_CARRY_CACHE decode (cache as in-place scan carry) is
     numerically identical to the default xs/ys cache path."""

@@ -60,6 +60,7 @@ def test_build_examples_token_grammar(tmp_path):
     assert toks1[3] == tb + 50
 
 
+@pytest.mark.slow
 def test_finetune_cli_end_to_end(tmp_path, monkeypatch):
     """2 steps on the 8-device CPU mesh: loss finite, checkpoint written
     and reloadable."""

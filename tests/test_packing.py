@@ -75,6 +75,7 @@ def test_unpack_passthrough_for_plain_window():
     assert routed == [(w, segs)]
 
 
+@pytest.mark.slow
 def test_pipeline_packing_end_to_end():
     """Packing preserves global subtitle timing through the pipeline."""
     import jax
@@ -130,6 +131,7 @@ def test_chunked_windows_overlap_and_ranges():
     assert spans[-1][1] == pytest.approx(70.0)
 
 
+@pytest.mark.slow
 def test_chunked_pipeline_mode():
     import jax
     from whisperjav_tpu.config.presets import resolve_pipeline_config

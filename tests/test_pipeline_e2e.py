@@ -59,6 +59,7 @@ def _media_wav(tmp_path, name="clip.wav", pattern=((5, 0), (2, None), (4, 1))):
     return p
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end(tmp_path, tiny_pipeline):
     wav = _media_wav(tmp_path)
     out_dir = tmp_path / "out"
@@ -79,6 +80,7 @@ def test_pipeline_end_to_end(tmp_path, tiny_pipeline):
     assert all(s.end <= 12.0 for s in subs)
 
 
+@pytest.mark.slow
 def test_pipeline_with_mesh(tmp_path, eight_device_mesh):
     """Same pipeline but with the batch sharded across 8 CPU devices."""
     cfg = resolve_pipeline_config(mode="fast", sensitivity="balanced",
@@ -100,6 +102,7 @@ def test_pipeline_empty_audio(tmp_path, tiny_pipeline):
     assert result.srt_path.exists()
 
 
+@pytest.mark.slow
 def test_artifacts_srt_written_e2e(tiny_pipeline, tmp_path, monkeypatch):
     """Removed cues land in a sidecar artifacts SRT with a summary cue
     (VERDICT item 7). A postprocessor wrapper injects a known

@@ -130,6 +130,7 @@ def test_coalescer_propagates_errors():
         co.submit([object()])
 
 
+@pytest.mark.slow
 def test_service_coalesced_end_to_end(server):
     """Service path with coalescing on: correct SRT out (tiny pipeline)."""
     cfg = resolve_pipeline_config(mode="fast", batch_size=2)
