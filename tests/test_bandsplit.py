@@ -104,6 +104,50 @@ def test_clearvoice_frcrn_backend(tmp_path):
     assert np.isfinite(res.audio).all()
 
 
+def test_clearvoice_mossformer2_backend(tmp_path):
+    """The default model (MossFormer2_SE_48K) binds the checkpoint-
+    faithful MossFormer2 engine from an .npz checkpoint."""
+    from whisperjav_tpu.models.enhancement import mossformer2
+
+    cfg = mossformer2.MF2_TEST
+    params = mossformer2.init_params(cfg, jax.random.PRNGKey(0))
+    ckpt = tmp_path / "mf2.npz"
+    mossformer2.save_params(str(ckpt), params, cfg)
+
+    enh = create_enhancer("clearvoice", weights=str(ckpt),
+                          chunk_s=0.05, crossfade_s=0.01)
+    # backend adopts the checkpoint's native rate (test cfg: 16 kHz)
+    assert enh.get_preferred_sample_rate() == cfg.sample_rate
+    audio = (np.random.default_rng(2).standard_normal(3200)
+             .astype(np.float32) * 0.1)
+    res = enh.enhance(audio, 16_000)
+    assert res.success and res.stats["engine"] == "mossformer2"
+    assert res.audio.shape == audio.shape
+    assert np.isfinite(res.audio).all()
+
+
+def test_clearvoice_mossformer2_torch_checkpoint(tmp_path):
+    """A vendor-named torch state dict (.pt) binds through the
+    converter, config inferred from the tensors."""
+    torch = pytest.importorskip("torch")
+    from test_mossformer2_parity import CFG, MossFormer_MaskNet
+    from whisperjav_tpu.models.enhancement import mossformer2
+
+    torch.manual_seed(1)
+    twin = MossFormer_MaskNet(CFG).eval()
+    ckpt = tmp_path / "mf2.pt"
+    torch.save({f"model.mossformer.{k}": v
+                for k, v in twin.state_dict().items()}, ckpt)
+
+    params, cfg = mossformer2.load_checkpoint(str(ckpt))
+    assert cfg.num_blocks == CFG.num_blocks
+    enh = create_enhancer("clearvoice", weights=str(ckpt),
+                          chunk_s=0.05, crossfade_s=0.01)
+    res = enh.enhance(np.random.default_rng(3).standard_normal(1600)
+                      .astype(np.float32) * 0.1, 16_000)
+    assert res.success and res.stats["engine"] == "mossformer2"
+
+
 def test_cross_subtitle_processor():
     from whisperjav_tpu.modules.sanitize.cross_subtitle import (
         CrossSubtitleProcessor,

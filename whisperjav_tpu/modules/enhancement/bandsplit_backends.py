@@ -7,9 +7,10 @@
 - ``clearvoice``: the reference's ClearVoice model menu (reference:
   backends/clearvoice.py:36-58). ``FRCRN_SE_16K`` binds the
   checkpoint-faithful FRCRN (complex U-Net + FSMN, 16 kHz);
-  ``MossFormer2_SE_48K`` (the reference default) runs the band-split
-  stand-in at 48 kHz until a faithful MossFormer2 port lands — its
-  weights load from .npz only and the backend reports which engine ran.
+  ``MossFormer2_SE_48K`` (the reference default) binds the
+  checkpoint-faithful MossFormer2 mask net (models/enhancement/
+  mossformer2.py — vendor state dicts load via its converter); legacy
+  .npz trees for the old band-split stand-in still load as a fallback.
 
 Both declare is_lightweight=False (the reference's VRAM hint contract)
 and degrade gracefully without weights. Audio is processed in chunks
@@ -136,13 +137,21 @@ class ClearVoiceBackend(_ChunkedModelBackend):
             self.sample_rate = 16_000
             self._engine = "frcrn"
         else:
-            from whisperjav_tpu.models.enhancement import bandsplit
+            from whisperjav_tpu.models.enhancement import mossformer2
 
-            self._bs_cfg = bandsplit.BandSplitConfig(
-                sample_rate=48_000, target="noise", n_bands=20,
-                n_layers=3)
-            self._params = bandsplit.load_params(path)
-            self._engine = "bandsplit"
+            try:
+                self._params, self._cfg = mossformer2.load_checkpoint(path)
+                self.sample_rate = self._cfg.sample_rate
+                self._engine = "mossformer2"
+            except Exception:
+                # legacy .npz trees for the band-split stand-in still load
+                from whisperjav_tpu.models.enhancement import bandsplit
+
+                self._bs_cfg = bandsplit.BandSplitConfig(
+                    sample_rate=48_000, target="noise", n_bands=20,
+                    n_layers=3)
+                self._params = bandsplit.load_params(path)
+                self._engine = "bandsplit"
 
     def _apply(self, clip: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
@@ -152,6 +161,12 @@ class ClearVoiceBackend(_ChunkedModelBackend):
 
             out = frcrn.denoise(self._params, jnp.asarray(clip[None]),
                                 self._cfg)
+            return np.asarray(out)[0]
+        if self._engine == "mossformer2":
+            from whisperjav_tpu.models.enhancement import mossformer2
+
+            out = mossformer2.enhance(self._params, self._cfg,
+                                      jnp.asarray(clip[None]), len(clip))
             return np.asarray(out)[0]
         from whisperjav_tpu.models.enhancement import bandsplit
 

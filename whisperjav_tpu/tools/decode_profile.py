@@ -42,8 +42,12 @@ def _build(model: str, batch: int):
     )
 
     config = WHISPER_SIZES[model]
+    # decode touches only params["decoder"] (model.py:decode_step /
+    # precompute_cross_kv); dropping the encoder halves the resident
+    # params HBM — holding full bf16 + quantized trees OOMs large-v2.
     params = jax.jit(
-        lambda k: init_params(config, k, dtype=jnp.bfloat16)
+        lambda k: {"decoder": init_params(config, k,
+                                          dtype=jnp.bfloat16)["decoder"]}
     )(jax.random.PRNGKey(0))
     params_q = jax.jit(quantize_decoder_weights)(params)
     jax.block_until_ready(params_q)
@@ -109,21 +113,27 @@ def main(argv=None) -> int:
         base.update(kw)
         return DecodeOptions(**base)
 
+    # bf16_weights runs FIRST so the bf16 param copy can be freed before
+    # the int8 cells (holding both trees OOMs large-v2 at batch 64)
     variants = {
+        "bf16_weights": dict(_params="bf16"),
         "base": dict(),
         "bucket448": dict(_slice=448),
-        "bf16_weights": dict(_params="bf16"),
-        "bf16_cross_kv": dict(cross_kv_int8=False),
+        # bf16 cross-KV OOMs large-v2 at B=64 (the stream alone is
+        # ~15.7 GB) — ablate the KV stream the other way: int4 halves it
+        "int4_cross_kv": dict(cross_kv_int8=False, cross_kv_int4=True),
         "rules_off": dict(with_timestamps=False, suppress_blank=False,
                           suppress_tokens=()),
         "ngram3": dict(no_repeat_ngram_size=3),
     }
 
     rows: List[Dict] = []
+    holder = {"bf16": params}
+    del params
 
     def cell(name, kw, budget):
         kw = dict(kw)
-        p = params if kw.pop("_params", None) == "bf16" else params_q
+        p = holder["bf16"] if kw.pop("_params", None) == "bf16" else params_q
         t_slice = kw.pop("_slice", None)
         xa_v = xa[:, :t_slice] if t_slice else xa
         sec = _time_cell(config, p, xa_v, opts(budget, **kw), args.iters)
@@ -135,8 +145,17 @@ def main(argv=None) -> int:
 
     slopes = {}
     for name, kw in variants.items():
-        t_lo = cell(name, kw, lo)
-        t_hi = cell(name, kw, hi)
+        try:
+            t_lo = cell(name, kw, lo)
+            t_hi = cell(name, kw, hi)
+        except Exception as e:  # OOM etc: record, keep profiling
+            msg = str(e).splitlines()[0][:200]
+            rows.append({"variant": name, "error": msg})
+            print(json.dumps({"variant": name, "error": msg}), flush=True)
+            continue
+        finally:
+            if name == "bf16_weights":
+                holder.clear()   # free the bf16 tree for the int8 cells
         slopes[name] = 1000.0 * (t_hi - t_lo) / (hi - lo)
 
     t_long = cell("base", {}, args.long_budget)
@@ -144,27 +163,26 @@ def main(argv=None) -> int:
                    if r["variant"] == "base" and r["budget"] == hi)
     slope_long = 1000.0 * (t_long - base_hi) / (args.long_budget - hi)
 
+    def delta(a, b):
+        if a in slopes and b in slopes:
+            return round(slopes[a] - slopes[b], 2)
+        return None
+
     summary = {
         "model": args.model, "batch": args.batch,
         "ms_per_step": {k: round(v, 2) for k, v in slopes.items()},
         "ms_per_step_base_long": round(slope_long, 2),
         "attribution_ms": {
             # cross-KV stream beyond 448 frames (what bucketing saves)
-            "cross_kv_1500_vs_448": round(
-                slopes["base"] - slopes["bucket448"], 2),
-            # int8 weight dequant vs bf16 weight stream
-            "int8_weight_dequant_delta": round(
-                slopes["base"] - slopes["bf16_weights"], 2),
-            # int8 KV dequant vs doubled bf16 stream
-            "int8_kv_delta": round(
-                slopes["base"] - slopes["bf16_cross_kv"], 2),
-            "logit_rules": round(
-                slopes["base"] - slopes["rules_off"], 2),
-            "ngram_ban": round(
-                slopes["ngram3"] - slopes["base"], 2),
+            "cross_kv_1500_vs_448": delta("base", "bucket448"),
+            # int8 weight stream vs bf16 weight stream
+            "int8_weight_saving": delta("bf16_weights", "base"),
+            # int8→int4 KV: halving the dominant stream again
+            "int4_kv_saving": delta("base", "int4_cross_kv"),
+            "logit_rules": delta("base", "rules_off"),
+            "ngram_ban": delta("ngram3", "base"),
             # self-cache growth: slope change as mean cache len rises
-            "self_cache_growth": round(
-                slope_long - slopes["base"], 2),
+            "self_cache_growth": round(slope_long - slopes["base"], 2),
         },
     }
     print(json.dumps(summary), flush=True)
