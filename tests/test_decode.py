@@ -212,7 +212,18 @@ def test_int4_cross_kv_structurally_valid(tiny_model):
     # attention-level error bound: int4 output within coarse-grid noise
     fp_kv = precompute_cross_kv(params, TINY, xa)
     q4_kv = precompute_cross_kv(params, TINY, xa, int4=True)
-    assert str(q4_kv.k.dtype) == "int4"
+    # nibble-packed storage: two s4 per uint8 byte, T axis halved
+    assert str(q4_kv.k.dtype) == "uint8"
+    assert q4_kv.k.shape[-1] == fp_kv.k.shape[-1] // 2
+
+    # pack/unpack round-trips exactly on the ±7 grid
+    from whisperjav_tpu.models.whisper.model import (
+        _pack_nibbles, _unpack_nibbles,
+    )
+    grid = jnp.asarray(np.random.default_rng(1).integers(
+        -7, 8, size=(3, 5, 4, 16)).astype(np.float32))
+    rt = np.asarray(_unpack_nibbles(_pack_nibbles(grid)))
+    np.testing.assert_array_equal(rt, np.asarray(grid).astype(np.int8))
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal(
         (xa.shape[0], 1, TINY.n_text_head,

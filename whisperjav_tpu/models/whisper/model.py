@@ -267,8 +267,13 @@ def precompute_cross_kv(params: Params, config: WhisperConfig,
     ``int8=True`` symmetrically quantizes K/V per (layer, batch, head),
     halving the dominant per-token HBM stream; the int8→bf16 convert and
     scale multiply fuse into the attention matmuls. ``int4=True``
-    (wins over int8) packs K/V into XLA's native s4 — quartering the
-    stream; coarser ±7-level grid, opt-in (DecodeOptions.cross_kv_int4).
+    (wins over int8) packs two ±7-level nibbles per uint8 byte along T —
+    quartering the stream; coarser grid, opt-in
+    (DecodeOptions.cross_kv_int4). Nibble-packed uint8 storage is used
+    instead of XLA's native s4: s4 arrays crossing the eager→jit
+    boundary wedge the remote-TPU dispatch path ("Recursively calling
+    jit"), and the manual shift/mask unpack is explicit VPU work XLA
+    can schedule (docs/ADR-002 §Rejected for the s4 measurement).
     """
     blocks = params["decoder"]["blocks"]
     h = config.n_text_head
@@ -280,15 +285,20 @@ def precompute_cross_kv(params: Params, config: WhisperConfig,
                          h).transpose(0, 2, 3, 1)
         if int8 or int4:
             qmax = 7.0 if int4 else 127.0
-            dt = jnp.int4 if int4 else jnp.int8
             ks = (jnp.max(jnp.abs(k.astype(jnp.float32)), axis=(2, 3),
                           keepdims=True) / qmax + 1e-9)
             vs = (jnp.max(jnp.abs(v.astype(jnp.float32)), axis=(2, 3),
                           keepdims=True) / qmax + 1e-9)
             k = jnp.clip(jnp.round(k.astype(jnp.float32) / ks),
-                         -qmax, qmax).astype(dt)
+                         -qmax, qmax)
             v = jnp.clip(jnp.round(v.astype(jnp.float32) / vs),
-                         -qmax, qmax).astype(dt)
+                         -qmax, qmax)
+            if int4:
+                k = _pack_nibbles(k)
+                v = _pack_nibbles(v)
+            else:
+                k = k.astype(jnp.int8)
+                v = v.astype(jnp.int8)
         else:
             ks = jnp.ones(k.shape[:2] + (1, 1), jnp.float32)
             vs = ks
@@ -298,11 +308,42 @@ def precompute_cross_kv(params: Params, config: WhisperConfig,
     return CrossKV(ks_, vs_, ksc, vsc)
 
 
+def _pack_nibbles(x: jax.Array) -> jax.Array:
+    """Pack ±7-level values into two s4 nibbles per uint8 along the last
+    (T) axis: byte i holds positions 2i (low nibble) and 2i+1 (high)."""
+    if x.shape[-1] % 2:
+        raise ValueError(
+            f"int4 cross-KV needs an even T axis, got {x.shape[-1]} — "
+            "cross-KV buckets (448/960/1500) are all even")
+    xi = x.astype(jnp.int32)
+    lo = xi[..., 0::2] & 0xF
+    hi = xi[..., 1::2] & 0xF
+    return ((hi << 4) | lo).astype(jnp.uint8)
+
+
+def _unpack_nibbles(p: jax.Array) -> jax.Array:
+    """uint8 nibble-pairs → int8 values, inverse of _pack_nibbles.
+
+    Arithmetic right shifts on the bitcast int8 view sign-extend both
+    nibbles; the trailing (T/2, 2)→(T,) reshape restores position order.
+    """
+    pi = jax.lax.bitcast_convert_type(p, jnp.int8)
+    lo = jnp.right_shift(jnp.left_shift(pi, 4), 4)
+    hi = jnp.right_shift(pi, 4)
+    return jnp.stack([lo, hi], axis=-1).reshape(
+        *p.shape[:-1], p.shape[-1] * 2)
+
+
 def cross_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
                     k_scale: jax.Array, v_scale: jax.Array) -> jax.Array:
     """q (B, Tq, H, hd) × cross K/V (B, H, hd, T) → (B, Tq, H, hd).
 
-    K/V may be int8 with per-(batch,head) scales (B, H, 1, 1)."""
+    K/V may be int8 with per-(batch,head) scales (B, H, 1, 1), or
+    nibble-packed int4 in uint8 storage (T axis halved; unpacked here,
+    the shift/mask ops fuse into the attention matmul's operand read)."""
+    if ck.dtype == jnp.uint8:
+        ck = _unpack_nibbles(ck)
+        cv = _unpack_nibbles(cv)
     hd = q.shape[-1]
     scale = hd ** -0.25
     quant = (jnp.int8, jnp.int4)
