@@ -130,3 +130,54 @@ def test_segmenter_autodetects_v5_tree(tmp_path):
              ).astype(np.float32)
     result = seg.segment(audio, 16000)
     assert result.stats["model"] == "jax"
+
+
+# Exact tensor manifest of the published silero-vad v5/v6 16 kHz JIT
+# graph (reference: whisperjav/modules/speech_segmentation/backends/
+# silero.py loads these checkpoints via torch.hub). Pinning name→shape
+# here makes the converter's vendor contract explicit and diffable
+# against a real checkpoint, independent of the torch twin above.
+SILERO_V5_MANIFEST = {
+    "_model.stft.forward_basis_buffer": (258, 1, 256),
+    "_model.encoder.0.reparam_conv.weight": (128, 129, 3),
+    "_model.encoder.0.reparam_conv.bias": (128,),
+    "_model.encoder.1.reparam_conv.weight": (64, 128, 3),
+    "_model.encoder.1.reparam_conv.bias": (64,),
+    "_model.encoder.2.reparam_conv.weight": (64, 64, 3),
+    "_model.encoder.2.reparam_conv.bias": (64,),
+    "_model.encoder.3.reparam_conv.weight": (128, 64, 3),
+    "_model.encoder.3.reparam_conv.bias": (128,),
+    "_model.decoder.rnn.weight_ih": (512, 128),
+    "_model.decoder.rnn.weight_hh": (512, 128),
+    "_model.decoder.rnn.bias_ih": (512,),
+    "_model.decoder.rnn.bias_hh": (512,),
+    "_model.decoder.decoder.2.weight": (1, 128, 1),
+    "_model.decoder.decoder.2.bias": (1,),
+}
+
+
+def test_converter_consumes_exact_vendor_manifest():
+    """A state dict with EXACTLY the published names/shapes loads, every
+    param lands with the right shape, and the forward pass runs."""
+    rng = np.random.default_rng(7)
+    sd = {k: torch.from_numpy(
+        (rng.standard_normal(v) * 0.1).astype(np.float32))
+        for k, v in SILERO_V5_MANIFEST.items()}
+    params = silero.params_from_torch_state_dict(sd)
+    assert params["stft_basis"].shape == (258, 1, 256)
+    assert params["lstm_wi"].shape == (512, 128)
+    assert params["head_w"].shape in ((1, 128, 1), (1, 128))
+    audio = np.random.default_rng(1).standard_normal(
+        (2, silero.CHUNK * 6)).astype(np.float32) * 0.2
+    probs = np.asarray(silero.apply(params, jnp.asarray(audio)))
+    assert probs.shape == (2, 6)
+    assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_twin_state_dict_matches_vendor_manifest():
+    """The torch twin used for parity emits the manifest EXACTLY —
+    names and shapes — so twin-based parity is parity vs the published
+    graph layout, not vs a private re-reading of it."""
+    twin_sd = _TorchSilero().jit_style_state_dict()
+    assert {k: tuple(v.shape) for k, v in twin_sd.items()} == \
+        SILERO_V5_MANIFEST
