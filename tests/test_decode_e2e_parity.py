@@ -204,6 +204,15 @@ def test_greedy_token_identical(twin, ngram):
             assert abs(float(np.asarray(ours.sum_logprob)[r]) - ref_lp) \
                 < 2e-2
 
+    # the synthetic-weight CER datapoint (BASELINE.json's north star is
+    # CER parity; zero egress blocks real-checkpoint CER, so this is the
+    # strongest offline proxy): transcripts rendered from the token ids
+    # grade at exactly 0.0 CER vs the torch twin's
+    from whisperjav_tpu.bench.metrics import character_error_rate
+    ours_text = " ".join(" ".join(map(str, t)) for t in ours_tokens)
+    ref_text = " ".join(" ".join(map(str, g)) for g, _ in ref)
+    assert character_error_rate(ref_text, ours_text) == 0.0
+
 
 @pytest.mark.slow
 def test_greedy_no_timestamps_token_identical(twin):
