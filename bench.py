@@ -8,10 +8,12 @@ large-v2 at ~15x realtime on an RTX 4090 (BASELINE.md). value is the
 realtime factor (audio seconds transcribed per wall second) of the
 TPU engine on fixed 30 s windows with a representative decode budget.
 
-Weights are random (no network egress): throughput is weight-value
-independent — the decode loop runs its full token budget per window,
-which slightly *understates* steady-state RTF versus real weights that
-emit EOT early.
+Weights are random (no network egress). The greedy loop early-exits
+once every row has emitted EOT, and with random weights the timestamp
+rules do drive rows to EOT before the 128-token budget — so the
+measured step count sits between "full budget" and real-weight
+early-EOT behavior, same as production. (Decode-step ablations that
+need an exact step count ban EOT instead: tools/decode_profile.py.)
 
 Survivability (round-2 lesson: the driver run timed out, rc=124, and the
 round shipped no number). Two distinct hang modes exist on this host and

@@ -10,8 +10,21 @@ materialization.  Two token budgets per variant give
 so ``slope`` is the true ms/step with the per-batch fixed work
 (cross-KV precompute, prefill, upload) removed, and differences of
 slopes against ``base`` attribute the per-step cost of the ablated
-component (cross-KV stream length, int8 weight dequant, int8 KV
-quantization, logit rules, self-cache size).
+component (cross-KV stream length, int8 weight dequant, int4 KV
+packing, logit rules, self-cache size).
+
+Timing discipline: the tunnel's throughput drifts over minutes, so
+cells are NOT timed in variant order — after a compile/warmup sweep,
+the timed runs INTERLEAVE all cells round-robin for ``--iters`` rounds
+and take the per-cell median.  Drift then biases every variant equally
+and slope differences stay meaningful.  (The round-2 grouped-order run
+showed rules_off "slower than base" purely from drift.)
+
+The one exception is ``bf16_weights``: holding the bf16 decoder tree
+and the int8 tree simultaneously OOMs large-v2 at batch 64, so its two
+cells run in a separate phase first and the tree is freed before the
+interleaved phase.  Its delta is therefore drift-exposed; treat it as
+a bound, not a point estimate.
 
 Usage (idle TPU host; first run compiles ~10-20 min, cached after):
 
@@ -61,39 +74,34 @@ def _build(model: str, batch: int):
     return config, params, params_q, xa
 
 
-def _time_cell(config, params, xa, options, iters: int) -> float:
-    """Median wall seconds per decode over ``iters`` timed calls."""
-    import jax.numpy as jnp
-
-    from whisperjav_tpu.models.whisper.decode import decode_greedy
-
-    def run():
-        res = decode_greedy(params, config, xa, options)
-        np.asarray(res.tokens)        # tunnel-proof materialization
-
-    run()                             # compile + warm
-    times = []
-    for _ in range(iters):
-        t0 = time.time()
-        run()
-        times.append(time.time() - t0)
-    return float(np.median(times))
-
-
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="large-v2")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--budgets", type=int, nargs=2, default=(32, 128))
-    ap.add_argument("--long-budget", type=int, default=256,
-                    help="extra base cell for self-cache-growth slope")
+    ap.add_argument("--mid-budget", type=int, default=80,
+                    help="extra base cell: early (lo→mid) vs late "
+                         "(mid→hi) slope difference isolates self-cache "
+                         "growth. (Budgets past ~160 OOM large-v2 at "
+                         "batch 64 — the eager cross-KV + cache "
+                         "arguments alone are ~12 GB.)")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--group", type=int, default=None,
+                    help="run only this phase-2 group index (the axon "
+                         "backend does not release executables on "
+                         "jax.clear_caches(), so a 4-group run "
+                         "accumulates HBM and later groups OOM — run "
+                         "one group per process instead)")
+    ap.add_argument("--skip-bf16", action="store_true",
+                    help="skip the separate bf16-weights phase")
     args = ap.parse_args(argv)
 
     import jax
 
-    from whisperjav_tpu.models.whisper.decode import DecodeOptions
+    from whisperjav_tpu.models.whisper.decode import (
+        DecodeOptions, decode_greedy,
+    )
 
     cache_dir = ".jax_cache"
     try:
@@ -104,87 +112,263 @@ def main(argv=None) -> int:
     except Exception:
         pass
 
+    import sys
+
+    def mark(msg):
+        print(f"decode_profile: {msg}", file=sys.stderr, flush=True)
+
+    mark("building params (first device contact — a silent hang here "
+         "is the tunnel claim wedge)")
     config, params, params_q, xa = _build(args.model, args.batch)
+    mark("params ready")
     lo, hi = args.budgets
 
     def opts(budget, **kw):
+        # EOT is suppressed in EVERY cell: the greedy loop early-exits
+        # when all rows finish, and with random weights the timestamp
+        # rules drive rows to EOT at trajectory-dependent steps — the
+        # seconds(budget) curve goes concave and slopes stop being
+        # per-step costs. Banning EOT pins every cell to exactly
+        # `budget` steps.
         base = dict(max_new_tokens=budget, cross_kv_int8=True,
-                    no_repeat_ngram_size=0)
+                    no_repeat_ngram_size=0,
+                    suppress_tokens=(config.eot,))
         base.update(kw)
+        if not base.get("suppress_tokens"):
+            base["suppress_tokens"] = (config.eot,)   # rules_off too
         return DecodeOptions(**base)
 
-    # bf16_weights runs FIRST so the bf16 param copy can be freed before
-    # the int8 cells (holding both trees OOMs large-v2 at batch 64)
     variants = {
-        "bf16_weights": dict(_params="bf16"),
         "base": dict(),
         "bucket448": dict(_slice=448),
-        # bf16 cross-KV OOMs large-v2 at B=64 (the stream alone is
-        # ~15.7 GB) — ablate the KV stream the other way: int4 halves it
+        "bucket960": dict(_slice=960),
+        # nibble-packed int4: halves the int8 KV stream again
         "int4_cross_kv": dict(cross_kv_int8=False, cross_kv_int4=True),
         "rules_off": dict(with_timestamps=False, suppress_blank=False,
                           suppress_tokens=()),
         "ngram3": dict(no_repeat_ngram_size=3),
+        # layer-count ablation: blocks are scan-stacked on a leading
+        # axis, so slicing them yields a structurally identical smaller
+        # decoder. ms/step is ~affine in L; the extrapolated L→0
+        # intercept is the per-STEP fixed cost (loop/dispatch/logit
+        # head) that no per-layer stream ablation can see.
+        "layers16": dict(_layers=16),
+        "layers8": dict(_layers=8),
     }
+    variants = {n: kw for n, kw in variants.items()
+                if kw.get("_layers", 0) < config.n_text_layer}
 
     rows: List[Dict] = []
-    holder = {"bf16": params}
-    del params
+    failed = set()
 
-    def cell(name, kw, budget):
+    def make_run(p, kw, budget):
         kw = dict(kw)
-        p = holder["bf16"] if kw.pop("_params", None) == "bf16" else params_q
         t_slice = kw.pop("_slice", None)
+        n_layers = kw.pop("_layers", None)
         xa_v = xa[:, :t_slice] if t_slice else xa
-        sec = _time_cell(config, p, xa_v, opts(budget, **kw), args.iters)
-        row = {"variant": name, "budget": budget, "seconds": round(sec, 4),
+        cfg = config
+        if n_layers:
+            import dataclasses
+
+            import jax as _jax
+            cfg = dataclasses.replace(config, n_text_layer=n_layers)
+            p = {"decoder": dict(p["decoder"])}
+            p["decoder"]["blocks"] = _jax.tree.map(
+                lambda a: a[:n_layers], p["decoder"]["blocks"])
+        o = opts(budget, **kw)
+
+        def run():
+            res = decode_greedy(p, cfg, xa_v, o)
+            np.asarray(res.tokens)        # tunnel-proof materialization
+        return run
+
+    def timed(run):
+        t0 = time.time()
+        run()
+        return time.time() - t0
+
+    def emit(name, budget, sec):
+        row = {"variant": name, "budget": budget,
+               "seconds": round(sec, 4),
                "ms_per_token_naive": round(1000 * sec / budget, 3)}
         rows.append(row)
         print(json.dumps(row), flush=True)
-        return sec
 
-    slopes = {}
-    for name, kw in variants.items():
+    # ---- phase 1: bf16 weights alone (can't coexist with int8 tree) ----
+    slopes: Dict[str, float] = {}
+    runs = None
+    if not args.skip_bf16:
         try:
-            t_lo = cell(name, kw, lo)
-            t_hi = cell(name, kw, hi)
-        except Exception as e:  # OOM etc: record, keep profiling
+            runs = {b: make_run(params, {}, b) for b in (lo, hi)}
+            for b, r in runs.items():
+                r()                                 # compile + warm
+            t = {b: float(np.median([timed(r)
+                                     for _ in range(args.iters)]))
+                 for b, r in runs.items()}
+            for b in (lo, hi):
+                emit("bf16_weights", b, t[b])
+            slopes["bf16_weights"] = (1000.0 * (t[hi] - t[lo])
+                                      / (hi - lo))
+        except Exception as e:
             msg = str(e).splitlines()[0][:200]
-            rows.append({"variant": name, "error": msg})
-            print(json.dumps({"variant": name, "error": msg}), flush=True)
+            rows.append({"variant": "bf16_weights", "error": msg})
+            print(json.dumps({"variant": "bf16_weights", "error": msg}),
+                  flush=True)
+    del params, runs                 # free the bf16 tree before phase 2
+    import gc
+    gc.collect()
+    jax.clear_caches()   # drop phase-1 executables' on-chip footprint
+
+    # ---- phase 2: small interleaved groups on the int8 tree ----
+    # Each decode run peaks near the whole chip (int8 cross-KV ~7.9 GB
+    # + cache + ~5-8 GB HLO temp at large-v2/B=64), and every live
+    # executable keeps code+constants resident — holding ALL variants'
+    # programs at once OOMs. So variants are interleaved in SMALL
+    # groups, each with its own fresh base control (drift cancels
+    # group-locally), and jax.clear_caches() runs between groups; the
+    # persistent compilation cache makes the recompiles cheap.
+    groups = [["bucket448", "bucket960"],
+              ["int4_cross_kv", "rules_off"],
+              ["ngram3", "__mid__"],
+              ["layers16", "layers8"]]
+    group_base: Dict[int, float] = {}
+    med: Dict[tuple, float] = {}
+    slope_early = slope_late = None
+
+    for gi, names in enumerate(groups):
+        if args.group is not None and gi != args.group:
             continue
-        finally:
-            if name == "bf16_weights":
-                holder.clear()   # free the bf16 tree for the int8 cells
-        slopes[name] = 1000.0 * (t_hi - t_lo) / (hi - lo)
+        gcells: Dict[tuple, object] = {}
+        for b in (lo, hi):
+            gcells[("base", b)] = make_run(params_q, {}, b)
+        for name in names:
+            if name == "__mid__":
+                gcells[("base", args.mid_budget)] = make_run(
+                    params_q, {}, args.mid_budget)
+            elif name in variants:
+                for b in (lo, hi):
+                    gcells[(name, b)] = make_run(params_q,
+                                                 variants[name], b)
 
-    t_long = cell("base", {}, args.long_budget)
-    base_hi = next(r["seconds"] for r in rows
-                   if r["variant"] == "base" and r["budget"] == hi)
-    slope_long = 1000.0 * (t_long - base_hi) / (args.long_budget - hi)
+        for key in list(gcells):
+            try:
+                mark(f"warmup {key}")
+                gcells[key]()                       # compile + warm
+            except Exception as e:
+                msg = str(e).splitlines()[0][:200]
+                rows.append({"variant": key[0], "budget": key[1],
+                             "error": msg})
+                print(json.dumps({"variant": key[0], "budget": key[1],
+                                  "error": msg}), flush=True)
+                failed.add(key)
+                del gcells[key]
 
-    def delta(a, b):
-        if a in slopes and b in slopes:
-            return round(slopes[a] - slopes[b], 2)
+        samples: Dict[tuple, List[float]] = {k: [] for k in gcells}
+        for _ in range(args.iters):                 # round-robin rounds
+            for key, run in list(gcells.items()):
+                try:
+                    samples[key].append(timed(run))
+                except Exception as e:
+                    msg = str(e).splitlines()[0][:200]
+                    rows.append({"variant": key[0], "budget": key[1],
+                                 "error": msg})
+                    print(json.dumps({"variant": key[0],
+                                      "budget": key[1], "error": msg}),
+                          flush=True)
+                    del gcells[key], samples[key]
+
+        gmed = {k: float(np.median(v)) for k, v in samples.items()
+                if v}
+        for (name, b), sec in gmed.items():
+            emit(f"{name}@g{gi}", b, sec)
+        if ("base", lo) in gmed and ("base", hi) in gmed:
+            group_base[gi] = (1000.0 * (gmed[("base", hi)]
+                                        - gmed[("base", lo)]) / (hi - lo))
+            # self-cache growth (only the group holding the mid cell):
+            # late slope (mid→hi) minus early slope (lo→mid), all three
+            # cells same-group so drift cancels
+            k_mid = ("base", args.mid_budget)
+            if k_mid in gmed:
+                slope_early = (1000.0 * (gmed[k_mid] - gmed[("base", lo)])
+                               / (args.mid_budget - lo))
+                slope_late = (1000.0 * (gmed[("base", hi)] - gmed[k_mid])
+                              / (hi - args.mid_budget))
+        for name in names:
+            k_lo, k_hi = (name, lo), (name, hi)
+            if k_lo in gmed and k_hi in gmed:
+                # variant slope, shifted so its delta is vs the GROUP
+                # base but comparable to the global base scale
+                slopes[name] = (1000.0 * (gmed[k_hi] - gmed[k_lo])
+                                / (hi - lo))
+                slopes[f"base@g{gi}"] = group_base.get(gi)
+        med.update(gmed)
+        del gcells, samples
+        gc.collect()
+        jax.clear_caches()
+
+    # global base slope = median of the per-group base controls
+    base_vals = [v for v in group_base.values() if v is not None]
+    if base_vals:
+        slopes["base"] = float(np.median(base_vals))
+
+    def gdelta(name):
+        """variant minus its own group's base control."""
+        for gi, names in enumerate(groups):
+            if name in names and name in slopes and gi in group_base:
+                return slopes[name] - group_base[gi]
         return None
+
+    def _neg(v):
+        return -v if v is not None else None
+
+    def r2(v):
+        return round(v, 2) if v is not None else None
 
     summary = {
         "model": args.model, "batch": args.batch,
-        "ms_per_step": {k: round(v, 2) for k, v in slopes.items()},
-        "ms_per_step_base_long": round(slope_long, 2),
+        "groups": groups,
+        "ms_per_step": {k: round(v, 2) for k, v in slopes.items()
+                        if v is not None},
+        "ms_per_step_base_early": r2(slope_early),
+        "ms_per_step_base_late": r2(slope_late),
         "attribution_ms": {
-            # cross-KV stream beyond 448 frames (what bucketing saves)
-            "cross_kv_1500_vs_448": delta("base", "bucket448"),
-            # int8 weight stream vs bf16 weight stream
-            "int8_weight_saving": delta("bf16_weights", "base"),
-            # int8→int4 KV: halving the dominant stream again
-            "int4_kv_saving": delta("base", "int4_cross_kv"),
-            "logit_rules": delta("base", "rules_off"),
-            "ngram_ban": delta("ngram3", "base"),
+            # every delta is variant minus its OWN group's base control
+            # (same-minute pair — tunnel drift cancels)
+            "cross_kv_1500_vs_448": r2(_neg(gdelta("bucket448"))),
+            "cross_kv_1500_vs_960": r2(_neg(gdelta("bucket960"))),
+            # int8 weight stream vs bf16 (phase-boundary: bound only)
+            "int8_weight_saving": (
+                r2(slopes["bf16_weights"] - slopes["base"])
+                if "bf16_weights" in slopes and "base" in slopes
+                else None),
+            # int8→packed-int4 KV: halving the dominant stream again
+            "int4_kv_saving": r2(_neg(gdelta("int4_cross_kv"))),
+            "logit_rules": r2(_neg(gdelta("rules_off"))),
+            "ngram_ban": r2(gdelta("ngram3")),
             # self-cache growth: slope change as mean cache len rises
-            "self_cache_growth": round(slope_long - slopes["base"], 2),
+            "self_cache_growth": (r2(slope_late - slope_early)
+                                  if slope_early is not None else None),
         },
     }
+    # affine fit ms/step = a*L + b over the layer ablation: `a` is the
+    # true per-layer cost, `b` the per-step fixed cost (loop overhead,
+    # logit head, rule masks) invisible to stream ablations. All three
+    # points come from the layer group's own cells/control (group 3).
+    layer_gi = next((gi for gi, names in enumerate(groups)
+                     if "layers8" in names), None)
+    pts = []
+    if layer_gi is not None and layer_gi in group_base:
+        pts.append((config.n_text_layer, group_base[layer_gi]))
+    for l, n in ((16, "layers16"), (8, "layers8")):
+        if n in slopes:
+            pts.append((l, slopes[n]))
+    if len(pts) >= 2:
+        a, b = np.polyfit([p[0] for p in pts], [p[1] for p in pts], 1)
+        summary["layer_decomposition"] = {
+            "ms_per_layer": round(float(a), 3),
+            "ms_fixed_per_step": round(float(b), 2),
+            "points": {str(l): round(s, 2) for l, s in pts}}
+
     print(json.dumps(summary), flush=True)
     if args.json:
         with open(args.json, "w") as f:
