@@ -224,6 +224,18 @@ def test_int4_cross_kv_structurally_valid(tiny_model):
         -7, 8, size=(3, 5, 4, 16)).astype(np.float32))
     rt = np.asarray(_unpack_nibbles(_pack_nibbles(grid)))
     np.testing.assert_array_equal(rt, np.asarray(grid).astype(np.int8))
+
+    # the fusion-preserving even/odd attention equals attending the
+    # unpacked int8 values directly (permutation-invariant softmax)
+    packed = _pack_nibbles(grid)                        # (3, 5, 4, 8)
+    ones = jnp.ones((3, 5, 1, 1), jnp.float32)
+    qq = jnp.asarray(np.random.default_rng(2)
+                     .standard_normal((3, 1, 5, 4)).astype(np.float32))
+    ref = cross_attention(qq, _unpack_nibbles(packed),
+                          _unpack_nibbles(packed), ones, ones)
+    got = cross_attention(qq, packed, packed, ones, ones)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal(
         (xa.shape[0], 1, TINY.n_text_head,

@@ -326,6 +326,11 @@ def _unpack_nibbles(p: jax.Array) -> jax.Array:
 
     Arithmetic right shifts on the bitcast int8 view sign-extend both
     nibbles; the trailing (T/2, 2)→(T,) reshape restores position order.
+    NOTE: inside a matmul this interleave reshape defeats operand
+    fusion (XLA materializes the unpacked array; measured 193 vs
+    43 ms/step at large-v2/B=64) — the attention path uses the
+    even/odd-split form in ``_packed_cross_attention`` instead; this
+    helper is for tests and host-side unpacking.
     """
     pi = jax.lax.bitcast_convert_type(p, jnp.int8)
     lo = jnp.right_shift(jnp.left_shift(pi, 4), 4)
@@ -334,16 +339,53 @@ def _unpack_nibbles(p: jax.Array) -> jax.Array:
         *p.shape[:-1], p.shape[-1] * 2)
 
 
+def _nib_lo(p: jax.Array) -> jax.Array:
+    pi = jax.lax.bitcast_convert_type(p, jnp.int8)
+    return jnp.right_shift(jnp.left_shift(pi, 4), 4)
+
+
+def _nib_hi(p: jax.Array) -> jax.Array:
+    return jnp.right_shift(jax.lax.bitcast_convert_type(p, jnp.int8), 4)
+
+
+def _packed_cross_attention(q, ck, cv, k_scale, v_scale):
+    """Cross-attention over nibble-packed int4 K/V without interleaving.
+
+    Softmax over T is permutation-invariant and the V contraction sums
+    over T, so even positions (low nibbles) and odd positions (high
+    nibbles) can be attended as two half-length einsums whose operands
+    are pure shift/mask functions of the packed bytes — fusable into
+    the matmul read, never materializing the unpacked stream.
+    """
+    hd = q.shape[-1]
+    scale = hd ** -0.25
+    qf = q * (scale * scale)
+    lg = [jnp.einsum("bqhd,bhdt->bhqt", qf, nib(ck).astype(q.dtype),
+                     preferred_element_type=jnp.float32) * k_scale
+          for nib in (_nib_lo, _nib_hi)]
+    logits = jnp.concatenate(lg, axis=-1)          # (B,H,Tq, T) permuted
+    weights = jax.nn.softmax(logits.astype(jnp.float32),
+                             axis=-1).astype(q.dtype)
+    t2 = ck.shape[-1]
+    out = (jnp.einsum("bhqt,bhdt->bqhd", weights[..., :t2],
+                      _nib_lo(cv).astype(q.dtype),
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bhqt,bhdt->bqhd", weights[..., t2:],
+                        _nib_hi(cv).astype(q.dtype),
+                        preferred_element_type=jnp.float32))
+    out = out * jnp.transpose(v_scale, (0, 2, 1, 3))   # (B,1,H,1)
+    return out.astype(q.dtype)
+
+
 def cross_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
                     k_scale: jax.Array, v_scale: jax.Array) -> jax.Array:
     """q (B, Tq, H, hd) × cross K/V (B, H, hd, T) → (B, Tq, H, hd).
 
     K/V may be int8 with per-(batch,head) scales (B, H, 1, 1), or
-    nibble-packed int4 in uint8 storage (T axis halved; unpacked here,
-    the shift/mask ops fuse into the attention matmul's operand read)."""
+    nibble-packed int4 in uint8 storage (T axis halved; attended via
+    the fusion-preserving even/odd split, see _packed_cross_attention)."""
     if ck.dtype == jnp.uint8:
-        ck = _unpack_nibbles(ck)
-        cv = _unpack_nibbles(cv)
+        return _packed_cross_attention(q, ck, cv, k_scale, v_scale)
     hd = q.shape[-1]
     scale = hd ** -0.25
     quant = (jnp.int8, jnp.int4)
