@@ -225,3 +225,46 @@ class TestContentAwareTiming:
         subs = [Subtitle(1, 0.0, 1.2, text)]
         out, report = SubtitleSanitizer("ja").process(subs)
         assert all(s.text != text for s in out)
+
+
+class TestSymbolOnlyResidue:
+    """Reference issue #287 symbol-only purge + the #324 script widening."""
+
+    def _run(self, text):
+        from whisperjav_tpu.modules.sanitize.sanitizer import SubtitleSanitizer
+        from whisperjav_tpu.modules.srt import Subtitle
+        return SubtitleSanitizer("ja").process(
+            [Subtitle(1, 0.0, 2.0, text)])
+
+    def test_punctuation_residue_dropped(self):
+        """Residue never reaches output; doubled punctuation is caught
+        upstream by the DB's nonsensical full-line rule (pattern
+        '[!！]{2,}' etc., reference-faithful), the rest by the
+        symbol-only purge."""
+        for residue in ("!!", "。。。", "♪~", "…—", "??~~"):
+            out, report = self._run(residue)
+            assert out == [], residue
+            assert report.artifacts, residue
+
+    def test_symbol_only_purge_catches_db_escapees(self):
+        """Strings no DB rule touches still get dropped as residue —
+        the reference's #287 defense-in-depth."""
+        for residue in ("…—", "——", "※※"):
+            out, report = self._run(residue)
+            assert out == [], residue
+            assert any(a["reason"] == "symbol_only_residue"
+                       for a in report.artifacts), residue
+
+    def test_non_cjk_scripts_survive(self):
+        """#324: Korean/Cyrillic/Thai/etc. are valid Whisper output and
+        must NOT be classed as residue."""
+        for text in ("안녕하세요", "Привет!", "สวัสดี", "नमस्ते",
+                     "שלום", "مرحبا", "café au lait", "Καλημέρα"):
+            out, _ = self._run(text)
+            assert len(out) == 1, text
+
+    def test_japanese_with_single_trailing_punct_kept(self):
+        """Single trailing punctuation is below the doubled-punct rule's
+        threshold and the text is linguistic — must survive."""
+        out, _ = self._run("窓の外は雨だ!")
+        assert len(out) == 1

@@ -12,12 +12,40 @@ both the cleaned list and a stats/artifacts bundle.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from whisperjav_tpu.modules.sanitize.hallucinations import HallucinationRemover
 from whisperjav_tpu.modules.sanitize.repetition import RepetitionCleaner
 from whisperjav_tpu.modules.srt import Subtitle
+
+# Symbol-only residue detector (reference: subtitle_sanitizer.py:946-954,
+# issue #287): after the mutating cleaners run, a cue whose text contains
+# no character from any Whisper-transcribable script is punctuation/emoji
+# residue (e.g. '!!' left by a partial strip) and must be dropped before
+# CPS/timing/output. The script class is the reference's v1.8.14 set
+# (issue #324 widened it beyond CJK+Latin, whose narrowness silently ate
+# Korean/Cyrillic/Arabic/Thai/Hebrew/Devanagari/Greek output):
+# kana + CJK ideographs + full/half-width Latin+digits + Hangul (incl.
+# jamo) + Cyrillic + Greek + Arabic + Hebrew + Thai + Devanagari +
+# Latin-Extended.
+_LINGUISTIC_CHAR_RE = re.compile(
+    "["
+    "\u3041-\u3096\u309D-\u309F"   # hiragana + iteration marks
+    "\u30A1-\u30FA\u30FC-\u30FF"   # katakana letters + prolonged mark
+    "\u4E00-\u9FFF"                  # CJK unified ideographs
+    "\uFF10-\uFF19\uFF21-\uFF3A\uFF41-\uFF5A"  # fullwidth alnum
+    "A-Za-z0-9"
+    "\uAC00-\uD7AF\u1100-\u11FF\u3130-\u318F"  # Hangul + jamo
+    "\u0400-\u04FF"                  # Cyrillic
+    "\u0370-\u03FF"                  # Greek
+    "\u0600-\u06FF"                  # Arabic
+    "\u0590-\u05FF"                  # Hebrew
+    "\u0E00-\u0E7F"                  # Thai
+    "\u0900-\u097F"                  # Devanagari
+    "\u00C0-\u024F"                  # Latin Extended-A/-B
+    "]")
 
 
 # reading speed by language (reference: config/sanitization_constants.py:
@@ -141,6 +169,16 @@ class SubtitleSanitizer:
                 report.repetitions_cleaned += 1
             if not text.strip():
                 report.empty_removed += 1
+                continue
+            # symbol-only purge (reference issue #287): the mutating
+            # cleaners above can leave pure punctuation/emoji residue
+            # ('!!', '。') — no transcribable-script character means the
+            # cue carries no content; drop before CPS/timing see it
+            if not _LINGUISTIC_CHAR_RE.search(text):
+                report.hallucinations_removed += 1
+                report.artifacts.append({"reason": "symbol_only_residue",
+                                         "start": s.start, "end": s.end,
+                                         "text": s.text})
                 continue
             kept.append(Subtitle(s.index, s.start, s.end, text))
         return kept
