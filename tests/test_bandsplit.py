@@ -154,8 +154,9 @@ def test_cross_subtitle_processor():
     )
     from whisperjav_tpu.modules.srt import Subtitle
     subs = [
-        Subtitle(1, 0.0, 2.0, "気持ちいいですね"),
-        Subtitle(2, 2.2, 3.0, "気持ちいいですよ"),      # similar consecutive
+        Subtitle(1, 0.0, 2.0, "気持ちいいですよ"),
+        Subtitle(2, 2.2, 3.0, "気持ちいいですよ"),      # identical run…
+        Subtitle(9, 3.2, 4.0, "気持ちいいですよ"),      # …of three merges
         Subtitle(3, 5.0, 7.0, "それは違うと思う。"),
         Subtitle(4, 6.5, 7.0, "違うと思う。"),         # contained in 3
         Subtitle(5, 9.0, 10.0, "まさか"),
@@ -165,15 +166,14 @@ def test_cross_subtitle_processor():
     ]
     out, stats = CrossSubtitleProcessor().process(subs)
     texts = [s.text for s in out]
-    assert "気持ちいいですね" in texts               # longer of the pair? equal
-    assert "気持ちいいですよ" not in texts
+    assert sum("気持ちいい" in t for t in texts) == 1   # run collapsed
+    assert stats["continuations_merged"] == 2
     assert "違うと思う。" not in texts
     assert "まさかそんなこと" in texts
     assert "まさか" not in texts
     assert "全然関係ない台詞" in texts and "別の話題です" in texts
     assert stats["containment_removed"] == 1
     assert stats["stutters_collapsed"] == 1
-    assert stats["continuations_merged"] == 1
 
 
 def test_high_density_cross_subtitle_analysis():

@@ -110,10 +110,11 @@ class TestSubtitleSanitizer:
             Subtitle(2, 2.0, 4.0, ""),                       # empty
             Subtitle(3, 4.0, 6.0, "ご視聴ありがとうございました"),  # hallucination
             Subtitle(4, 6.0, 8.0, "ああああああああ"),          # repetition
-            Subtitle(5, 8.0, 9.0, "次の台詞"),
-            Subtitle(6, 9.2, 10.0, "次の台詞"),               # duplicate
-            Subtitle(7, 10.0, 10.1, "とても長いテキストがここにあります"),  # CPS
-            Subtitle(8, 11.0, 30.0, "長すぎる字幕"),           # >12s
+            Subtitle(5, 8.0, 8.6, "次の台詞"),
+            Subtitle(6, 8.8, 9.2, "次の台詞"),               # duplicate run…
+            Subtitle(7, 9.4, 9.9, "次の台詞"),               # …of three merges
+            Subtitle(8, 10.0, 10.1, "とても長いテキストがここにあります"),  # CPS
+            Subtitle(9, 11.0, 30.0, "長すぎる字幕"),           # >12s
         ]
         san = SubtitleSanitizer("ja")
         out, report = san.process(subs)
@@ -122,7 +123,7 @@ class TestSubtitleSanitizer:
         assert "ご視聴ありがとうございました" not in texts
         assert report.empty_removed == 1
         assert report.hallucinations_removed >= 1
-        assert report.duplicates_merged == 1
+        assert report.duplicates_merged == 2     # run of 3 → one cue
         assert report.cps_violations_removed == 1
         # long subtitle clamped
         long_sub = [s for s in out if s.text == "長すぎる字幕"][0]
@@ -197,13 +198,24 @@ class TestContentAwareTiming:
     def test_merged_duplicate_is_retimed(self):
         from whisperjav_tpu.modules.sanitize.sanitizer import SubtitleSanitizer
         subs = [Subtitle(1, 8.0, 9.0, "次の台詞。"),
-                Subtitle(2, 9.2, 12.0, "次の台詞。")]      # merges into cue 1
+                Subtitle(2, 9.2, 10.0, "次の台詞。"),
+                Subtitle(3, 10.3, 12.0, "次の台詞。")]   # run of 3 merges
         out, report = SubtitleSanitizer("ja").process(subs)
         assert len(out) == 1
-        assert report.duplicates_merged == 1
+        assert report.duplicates_merged == 2
         # merged cue duration moved >0.25 s with short text → condition (c)
         assert out[0].end == 12.0
         assert out[0].duration < 4.0
+
+    def test_lone_repeat_pair_not_merged(self):
+        """Reference DEDUP_THRESHOLD=3: a single repeat (run of 2) is an
+        intentional repeat and stays as two cues."""
+        from whisperjav_tpu.modules.sanitize.sanitizer import SubtitleSanitizer
+        subs = [Subtitle(1, 8.0, 9.0, "もっと強い言葉で言って"),
+                Subtitle(2, 9.2, 10.0, "もっと強い言葉で言って")]
+        out, report = SubtitleSanitizer("ja").process(subs)
+        assert len(out) == 2
+        assert report.duplicates_merged == 0
 
     def test_untouched_cue_keeps_model_timestamps(self):
         from whisperjav_tpu.modules.sanitize.sanitizer import SubtitleSanitizer

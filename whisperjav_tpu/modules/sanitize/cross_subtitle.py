@@ -28,9 +28,13 @@ class CrossSubtitleConfig:
     continuation_gap_s: float = 0.5
     max_merged_chars: int = 42
     containment_overlap_s: float = 0.2
-    # minimum text similarity for merging consecutive cues (the
-    # reference's MERGE_SIMILARITY_THRESHOLD role)
-    merge_similarity: float = 0.8
+    # minimum text similarity for merging consecutive cues (reference:
+    # sanitization_constants.py:71 MERGE_SIMILARITY_THRESHOLD=0.9)
+    merge_similarity: float = 0.9
+    # a similar-run merges only at this size (reference:
+    # sanitization_constants.py:85 DEDUP_THRESHOLD=3) — a pair is kept;
+    # intentional repeats are common in the target content
+    merge_threshold: int = 3
 
 
 class CrossSubtitleProcessor:
@@ -124,24 +128,40 @@ class CrossSubtitleProcessor:
         return out
 
     def _continuation_merge(self, subs, stats):
-        """Merge consecutive SIMILAR cues (reference semantics:
-        cross_subtitle_processor.py:36-90 merges groups whose pairwise
-        similarity clears MERGE_SIMILARITY_THRESHOLD within MAX_GAP_MS —
-        it never glues unrelated dialogue)."""
+        """Merge RUNS of consecutive SIMILAR cues (reference semantics:
+        cross_subtitle_processor.py:36-90 — pairwise similarity vs the
+        run's FIRST cue must clear MERGE_SIMILARITY_THRESHOLD within
+        MAX_GAP_MS, and the run merges only at DEDUP_THRESHOLD (3) —
+        it never glues unrelated dialogue or a lone intentional repeat)."""
         from difflib import SequenceMatcher
 
         cfg = self.config
         out: List[Subtitle] = []
-        for s in subs:
-            if (out
-                    and out[-1].text and s.text
-                    and s.start - out[-1].end <= cfg.continuation_gap_s
-                    and SequenceMatcher(None, out[-1].text, s.text).ratio()
-                    >= cfg.merge_similarity):
-                stats["continuations_merged"] += 1
-                keep = (out[-1].text if len(out[-1].text) >= len(s.text)
-                        else s.text)
-                out[-1] = Subtitle(out[-1].index, out[-1].start, s.end, keep)
+        i = 0
+        while i < len(subs):
+            run = [subs[i]]
+            j = i + 1
+            while j < len(subs) and subs[i].text:
+                nxt = subs[j]
+                if (nxt.text
+                        and nxt.start - run[-1].end <= cfg.continuation_gap_s
+                        and SequenceMatcher(None, subs[i].text,
+                                            nxt.text).ratio()
+                        >= cfg.merge_similarity):
+                    run.append(nxt)
+                    j += 1
+                else:
+                    break
+            if len(run) >= cfg.merge_threshold:
+                stats["continuations_merged"] += len(run) - 1
+                keep = max((s.text for s in run), key=len)
+                out.append(Subtitle(run[0].index, run[0].start,
+                                    run[-1].end, keep))
+                i = j
             else:
-                out.append(s)
+                # below threshold: emit only the head and advance one —
+                # the next cue may anchor its own run (reference
+                # pointer semantics)
+                out.append(run[0])
+                i += 1
         return out

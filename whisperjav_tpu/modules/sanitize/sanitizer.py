@@ -65,8 +65,12 @@ class SanitizerConfig:
     slow_cps_max_len: int = 4      # short-text bound for slow-CPS removal
     min_duration_s: float = 0.3
     max_duration_s: float = 12.0   # longer = hallucination suspect
-    # sequential dedup: identical text within this gap merges
-    dedup_gap_s: float = 1.0
+    # sequential dedup (reference: sanitization_constants.py:72,85 —
+    # MAX_GAP_MS=600, DEDUP_THRESHOLD=3): only a RUN of >= threshold
+    # identical cues merges; a single repeat is kept as-is (intentional
+    # repeats are common in the target content)
+    dedup_gap_s: float = 0.6
+    dedup_threshold: int = 3
     # drop lines that are mostly repetition noise
     repetition_density: float = 0.75
     # content-aware retiming triggers (reference: timing_adjuster.py:44-117)
@@ -184,16 +188,37 @@ class SubtitleSanitizer:
         return kept
 
     def _dedup_sequential(self, subs, report):
-        """Merge identical consecutive cues separated by a small gap
-        (reference: subtitle_sanitizer.py:984 sequential-line dedup)."""
+        """Merge RUNS of identical consecutive cues (reference:
+        subtitle_sanitizer.py:984): a run merges only when it reaches
+        dedup_threshold (3) cues with inter-cue gaps in [0, gap); a
+        lone repeat is kept — it's usually an intentional repeat, not a
+        stuck decoder."""
+        cfg = self.config
         out: List[Subtitle] = []
-        for s in subs:
-            if (out and s.text == out[-1].text
-                    and s.start - out[-1].end <= self.config.dedup_gap_s):
-                out[-1].end = max(out[-1].end, s.end)
-                report.duplicates_merged += 1
+        i = 0
+        while i < len(subs):
+            run = [subs[i]]
+            j = i + 1
+            while j < len(subs):
+                gap = subs[j].start - run[-1].end
+                if (subs[j].text.strip() == run[0].text.strip()
+                        and 0 <= gap < cfg.dedup_gap_s):
+                    run.append(subs[j])
+                    j += 1
+                else:
+                    break
+            if len(run) >= cfg.dedup_threshold:
+                first = run[0]
+                out.append(Subtitle(first.index, first.start,
+                                    run[-1].end, first.text))
+                report.duplicates_merged += len(run) - 1
+                i = j
             else:
-                out.append(s)
+                # below threshold: emit only the head and advance one —
+                # the next cue may anchor its own run (reference
+                # pointer semantics)
+                out.append(run[0])
+                i += 1
         return out
 
     def _cross_subtitle(self, subs, report):
