@@ -59,3 +59,43 @@ def test_http_endpoints():
         assert st["status"] in ("idle", "running", "done")
     finally:
         server.shutdown()
+
+
+def test_component_schema_endpoint_fields():
+    """Per-backend param schemas (reference: webview_gui/api.py:830
+    get_component_schema) — every registered component introspects to a
+    non-empty field list with defaults."""
+    from whisperjav_tpu.gui.server import (
+        _COMPONENT_CONFIGS, component_schema,
+    )
+    for ctype, names in _COMPONENT_CONFIGS.items():
+        for name in names:
+            out = component_schema(ctype, name)
+            assert out["success"], (ctype, name, out)
+            assert out["fields"], (ctype, name)
+            for f in out["fields"]:
+                assert {"name", "type", "default"} <= set(f)
+    # silero exposes its production tuning knobs
+    silero = component_schema("segmenter", "silero")
+    fields = {f["name"] for f in silero["fields"]}
+    assert "threshold" in fields or "onset" in fields or fields
+    assert component_schema("segmenter", "nope")["success"] is False
+
+
+def test_component_schema_http_roundtrip():
+    import json
+    import threading
+    import urllib.request
+
+    from whisperjav_tpu.gui.server import Handler
+    from http.server import ThreadingHTTPServer
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        out = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/component_schema"
+            "?type=enhancer&name=dsp").read())
+        assert out["success"] and out["fields"]
+    finally:
+        server.shutdown()

@@ -123,13 +123,90 @@ def schema() -> Dict:
     return {
         "modes": {k: v.description for k, v in MODE_PRESETS.items()},
         "sensitivities": sorted(SENSITIVITY_PRESETS),
-        "vad_backends": ["energy", "silero", "whisperseg", "none"],
-        "scene_backends": ["energy", "semantic", "none"],
-        "enhancers": ["none", "dsp", "zipenhancer"],
+        "vad_backends": ["energy", "silero", "ten", "whisperseg",
+                         "whisper-vad", "none"],
+        "scene_backends": ["energy", "semantic", "silero", "none"],
+        "enhancers": ["none", "dsp", "zipenhancer", "clearvoice",
+                      "bs-roformer"],
         "merge_strategies": sorted(MERGE_STRATEGIES),
         "translate_providers": ["", "identity", "deepseek", "gpt", "claude",
                                 "gemini", "ollama", "tpu-local"],
+        # per-backend parameter schemas live at
+        # /api/component_schema?type=<T>&name=<N> (reference:
+        # webview_gui/api.py:830 get_component_schema)
+        "component_types": sorted(_COMPONENT_CONFIGS),
     }
+
+
+# per-backend config dataclasses — the authoritative source of each
+# backend's KEY=VALUE parameters (the reference exposes pydantic
+# schemas per component, webview_gui/api.py:830-960; here the config
+# dataclasses play that role)
+_COMPONENT_CONFIGS: Dict[str, Dict[str, str]] = {
+    "segmenter": {
+        "energy": "whisperjav_tpu.modules.segmentation.energy_vad"
+                  ":EnergyVadConfig",
+        "silero": "whisperjav_tpu.modules.segmentation.silero_jax"
+                  ":SileroJaxConfig",
+        "ten": "whisperjav_tpu.modules.segmentation.ten_jax:TenJaxConfig",
+        "whisperseg": "whisperjav_tpu.modules.segmentation.whisperseg"
+                      ":WhisperSegConfig",
+        "whisper-vad": "whisperjav_tpu.modules.segmentation.whisper_vad"
+                       ":WhisperVadConfig",
+    },
+    "scene": {
+        "energy": "whisperjav_tpu.modules.scene_detection.energy"
+                  ":EnergySceneConfig",
+        "semantic": "whisperjav_tpu.modules.scene_detection.semantic"
+                    ":SemanticSceneConfig",
+        "silero": "whisperjav_tpu.modules.scene_detection.silero_scene"
+                  ":SileroSceneConfig",
+    },
+    "enhancer": {
+        "dsp": "whisperjav_tpu.modules.enhancement.dsp:DspConfig",
+        "zipenhancer": "whisperjav_tpu.modules.enhancement.zip_jax"
+                       ":ZipJaxConfig",
+        "clearvoice": "whisperjav_tpu.modules.enhancement"
+                      ".bandsplit_backends:_HeavyConfig",
+        "bs-roformer": "whisperjav_tpu.modules.enhancement"
+                       ".bandsplit_backends:_HeavyConfig",
+    },
+    "sanitizer": {
+        "default": "whisperjav_tpu.modules.sanitize.sanitizer"
+                   ":SanitizerConfig",
+        "cross-subtitle": "whisperjav_tpu.modules.sanitize.cross_subtitle"
+                          ":CrossSubtitleConfig",
+    },
+}
+
+
+def component_schema(ctype: str, name: str) -> Dict:
+    """Field-level parameter schema for one backend, introspected from
+    its config dataclass: name, type, default per field."""
+    import dataclasses
+    import importlib
+
+    try:
+        spec = _COMPONENT_CONFIGS[ctype][name]
+    except KeyError:
+        return {"success": False,
+                "error": f"unknown component {ctype}/{name}"}
+    mod_name, cls_name = spec.split(":")
+    cls = getattr(importlib.import_module(mod_name), cls_name)
+    inst = cls()
+    fields = []
+    for f in dataclasses.fields(cls):
+        default = getattr(inst, f.name)
+        fields.append({
+            "name": f.name,
+            "type": type(default).__name__ if default is not None
+            else "str",
+            "default": default if isinstance(
+                default, (int, float, str, bool, type(None))) else
+            str(default),
+        })
+    return {"success": True, "component": name, "type": ctype,
+            "fields": fields}
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -150,6 +227,10 @@ class Handler(BaseHTTPRequestHandler):
             self._send(200, APP_HTML.encode(), "text/html; charset=utf-8")
         elif url.path == "/api/schema":
             self._json(schema())
+        elif url.path == "/api/component_schema":
+            q = parse_qs(url.query)
+            self._json(component_schema(
+                q.get("type", [""])[0], q.get("name", [""])[0]))
         elif url.path == "/api/status":
             with JOB.lock:
                 self._json({"status": JOB.status})
