@@ -28,6 +28,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="deep report: cue matching, hallucination/miss "
                         "buckets, worst decode windows, provenance "
                         "(reads the run's sibling artifact JSONs)")
+    p.add_argument("--forensic", default=None, metavar="OUT.csv",
+                   help="per-GT-cue loss-stage CSV (matched/coverage_"
+                        "loss/model_empty/sanitizer_removed/text_lost) "
+                        "for the FIRST --test run, from its sibling "
+                        "artifacts (reference: tools/forensic_csv_"
+                        "generator.py)")
     args = p.parse_args(argv)
 
     from whisperjav_tpu.bench.metrics import evaluate
@@ -35,6 +41,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     from whisperjav_tpu.version import __version__
 
     gt = load_srt(args.ground_truth)
+
+    if args.forensic:
+        from whisperjav_tpu.bench.forensic import (
+            loss_stage_rows, summarize, write_forensic_csv,
+        )
+        from whisperjav_tpu.bench.loader import load_run
+        run = load_run(Path(args.test[0]))
+        rows = loss_stage_rows(gt, run)
+        write_forensic_csv(Path(args.forensic), rows)
+        print(json.dumps(summarize(rows), indent=1))
 
     if args.full:
         from whisperjav_tpu.bench.loader import load_run
