@@ -230,3 +230,30 @@ def test_backend_uses_dual_path_tree(tmp_path):
     res = enh.enhance(audio, 16000)
     assert res.success and res.audio.shape == audio.shape
     assert np.isfinite(res.audio).all()
+
+
+def test_vendor_prefixed_state_dict_loads_identically():
+    """ModelScope wrapper prefixes (generator./model.generator./module.)
+    strip transparently: params_from_vendor on a prefixed dict equals
+    the direct conversion, through to identical forward outputs."""
+    torch.manual_seed(1)
+    twin = _TorchZip(CFG).eval()
+    sd = twin.state_dict()
+    direct = zz.params_from_torch_state_dict(sd, CFG)
+
+    rng = np.random.default_rng(3)
+    mag = (np.abs(rng.standard_normal((1, zz.N_FREQS, 9))) * 0.5
+           ).astype(np.float32)
+    pha = rng.uniform(-np.pi, np.pi, (1, zz.N_FREQS, 9)).astype(np.float32)
+    want_mag, want_pha = zz.forward(direct, CFG, jnp.asarray(mag),
+                                    jnp.asarray(pha))
+
+    for prefix in ("generator.", "model.generator.", "module."):
+        vend = zz.params_from_vendor(
+            {prefix + k: v for k, v in sd.items()}, CFG)
+        got_mag, got_pha = zz.forward(vend, CFG, jnp.asarray(mag),
+                                      jnp.asarray(pha))
+        np.testing.assert_allclose(np.asarray(got_mag),
+                                   np.asarray(want_mag), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_pha),
+                                   np.asarray(want_pha), atol=1e-6)
