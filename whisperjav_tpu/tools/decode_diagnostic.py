@@ -86,8 +86,6 @@ def main(argv=None) -> int:
     ap.add_argument("--segmenter", default="energy")
     args = ap.parse_args(argv)
 
-    import numpy as np
-
     from whisperjav_tpu.modules.audio_io import read_wav, resample
     from whisperjav_tpu.modules.scene_detection.base import (
         create_scene_detector,
