@@ -326,3 +326,32 @@ def test_carry_cache_decode_matches_default(tiny_model, monkeypatch):
                                np.asarray(out.avg_logprob),
                                atol=1e-4, rtol=1e-4)
     jax.clear_caches()
+
+
+def test_assume_greedy_matches_traced_temperature_zero(tiny_model):
+    """assume_greedy statically drops the gumbel draw; at temperature 0
+    that is exact (gumbel is multiplied by 0 in the shared program)."""
+    params, xa = tiny_model
+    opts = DecodeOptions(max_new_tokens=14)
+    ref = decode_greedy(params, TINY, xa, opts)
+    out = decode_greedy(params, TINY, xa,
+                        DecodeOptions(max_new_tokens=14, assume_greedy=True))
+    assert np.array_equal(np.asarray(ref.tokens), np.asarray(out.tokens))
+    np.testing.assert_allclose(np.asarray(ref.avg_logprob),
+                               np.asarray(out.avg_logprob),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_stop_at_is_a_prefix_of_the_full_run(tiny_model):
+    """The traced stop_at bound (decode_profile's shared-executable
+    budget) must not change what is decoded — only where it stops.
+    EOT is banned so both runs execute exactly their budgets."""
+    params, xa = tiny_model
+    opts = DecodeOptions(max_new_tokens=16, suppress_tokens=(TINY.eot,))
+    full = decode_greedy(params, TINY, xa, opts)
+    part = decode_greedy(params, TINY, xa, opts, stop_at=6)
+    a = np.asarray(full.tokens)[:, :6]
+    b = np.asarray(part.tokens)[:, :6]
+    assert np.array_equal(a, b)
+    # rows past the stop point carry no generated tokens
+    assert (np.asarray(part.length) == 6).all()

@@ -75,6 +75,10 @@ class DecodeOptions:
     # int4 cross-KV (wins over int8): quarters the stream via XLA-native
     # s4; coarser ±7-level grid — opt-in, A/B before production use
     cross_kv_int4: bool = False
+    # statically drop the per-step gumbel draw (B×V threefry) — exact for
+    # temperature 0; the sampled ladder rungs must keep the shared
+    # argmax(logits + T·gumbel) program. Profiler ablation + greedy lever.
+    assume_greedy: bool = False
 
 
 class DecodeResult(NamedTuple):
@@ -238,9 +242,15 @@ def _greedy_loop(params: Params, config: WhisperConfig,
                  options: DecodeOptions, tokens_init: jax.Array,
                  prompt_len: int, cross: CrossKV, cache: KVCache,
                  prefill_logits: jax.Array, sot_logits: jax.Array,
-                 temperature: jax.Array, rng: jax.Array) -> DecodeResult:
+                 temperature: jax.Array, rng: jax.Array,
+                 stop_at: Optional[jax.Array] = None) -> DecodeResult:
     b = tokens_init.shape[0]
     max_new = options.max_new_tokens
+    # traced step bound (≤ max_new): lets the profiler time two budgets
+    # with ONE executable (same cache size, same compile), so the
+    # seconds-per-step slope isn't contaminated by shape differences
+    if stop_at is None:
+        stop_at = jnp.int32(max_new)
     static_mask = jnp.asarray(_static_suppress_mask(config, options))
     no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, config.no_speech]
 
@@ -261,14 +271,18 @@ def _greedy_loop(params: Params, config: WhisperConfig,
     )
 
     def cond(s: _State):
-        return (s.step < max_new) & ~jnp.all(s.finished)
+        return (s.step < stop_at) & ~jnp.all(s.finished)
 
     def body(s: _State) -> _State:
         logits = _apply_logit_rules(s.cur_logits, s, config, options,
                                     static_mask, prompt_len)
-        rng, sub = jax.random.split(s.rng)
-        gumbel = jax.random.gumbel(sub, logits.shape, jnp.float32)
-        token = jnp.argmax(logits + temperature * gumbel, axis=-1)
+        if options.assume_greedy:
+            rng = s.rng
+            token = jnp.argmax(logits, axis=-1)
+        else:
+            rng, sub = jax.random.split(s.rng)
+            gumbel = jax.random.gumbel(sub, logits.shape, jnp.float32)
+            token = jnp.argmax(logits + temperature * gumbel, axis=-1)
         token = jnp.where(s.finished, config.eot, token).astype(jnp.int32)
 
         lp = jax.nn.log_softmax(logits, axis=-1)
@@ -319,8 +333,13 @@ def decode_greedy(
     prompt: Sequence[int] = (),
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
+    stop_at: Optional[int] = None,
 ) -> DecodeResult:
-    """Greedy/temperature-sampled batched decode of encoded audio."""
+    """Greedy/temperature-sampled batched decode of encoded audio.
+
+    ``stop_at`` (traced, ≤ max_new_tokens) bounds the step count without
+    recompiling — profiling/attribution use only.
+    """
     b = xa.shape[0]
     init = initial_tokens(config, options, prompt)
     prompt_len = len(init)
@@ -348,7 +367,8 @@ def decode_greedy(
         rng = jax.random.PRNGKey(0)
     return _greedy_loop(params, config, options, tokens, prompt_len, cross,
                         cache, last_logits, sot_logits,
-                        jnp.float32(temperature), rng)
+                        jnp.float32(temperature), rng,
+                        None if stop_at is None else jnp.int32(stop_at))
 
 
 # ---------------------------------------------------------------------------

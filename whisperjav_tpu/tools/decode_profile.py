@@ -11,7 +11,15 @@ so ``slope`` is the true ms/step with the per-batch fixed work
 (cross-KV precompute, prefill, upload) removed, and differences of
 slopes against ``base`` attribute the per-step cost of the ablated
 component (cross-KV stream length, int8 weight dequant, int4 KV
-packing, logit rules, self-cache size).
+packing, logit rules, gumbel RNG, self-cache size).
+
+Round-3 methodology upgrade: the step budget is a TRACED loop bound
+(``decode_greedy(..., stop_at=b)``), so both budgets of a slope pair
+run the SAME executable — same cache allocation, same compile — and
+the slope is a pure per-step cost, uncontaminated by the cache-size
+difference the old per-budget compiles carried. This also halves
+per-group executable residency (one program per variant, not two),
+which is what lets a group hold three variants without OOM.
 
 Timing discipline: the tunnel's throughput drifts over minutes, so
 cells are NOT timed in variant order — after a compile/warmup sweep,
@@ -147,6 +155,14 @@ def main(argv=None) -> int:
         "rules_off": dict(with_timestamps=False, suppress_blank=False,
                           suppress_tokens=()),
         "ngram3": dict(no_repeat_ngram_size=3),
+        # per-step (B, V) threefry gumbel draw (kept even at T=0 so the
+        # fallback ladder shares one program) — how much does it cost?
+        "no_gumbel": dict(assume_greedy=True),
+        # self-cache T_max ablation: allocate the cache at 32 new tokens
+        # instead of `hi`; compared against base AT stop_at=lo (same step
+        # count), the absolute gap ÷ lo is the per-step stream cost of
+        # the extra (hi - 32) cache positions all 32 layers read
+        "cache32": dict(_max_new=32),
         # layer-count ablation: blocks are scan-stacked on a leading
         # axis, so slicing them yields a structurally identical smaller
         # decoder. ms/step is ~affine in L; the extrapolated L→0
@@ -161,10 +177,13 @@ def main(argv=None) -> int:
     rows: List[Dict] = []
     failed = set()
 
-    def make_run(p, kw, budget):
+    def make_variant(p, kw):
+        """One variant = ONE executable; the budget rides the traced
+        stop_at bound, so every (variant, budget) cell shares it."""
         kw = dict(kw)
         t_slice = kw.pop("_slice", None)
         n_layers = kw.pop("_layers", None)
+        max_new = kw.pop("_max_new", hi)
         xa_v = xa[:, :t_slice] if t_slice else xa
         cfg = config
         if n_layers:
@@ -175,12 +194,17 @@ def main(argv=None) -> int:
             p = {"decoder": dict(p["decoder"])}
             p["decoder"]["blocks"] = _jax.tree.map(
                 lambda a: a[:n_layers], p["decoder"]["blocks"])
-        o = opts(budget, **kw)
+        o = opts(max_new, **kw)
 
-        def run():
-            res = decode_greedy(p, cfg, xa_v, o)
+        def run(budget):
+            res = decode_greedy(p, cfg, xa_v, o,
+                                stop_at=min(budget, max_new))
             np.asarray(res.tokens)        # tunnel-proof materialization
         return run
+
+    def make_run(p, kw, budget):
+        v = make_variant(p, kw)
+        return lambda: v(budget)
 
     def timed(run):
         t0 = time.time()
@@ -229,11 +253,13 @@ def main(argv=None) -> int:
     # persistent compilation cache makes the recompiles cheap.
     groups = [["bucket448", "bucket960"],
               ["int4_cross_kv", "rules_off"],
-              ["ngram3", "__mid__"],
-              ["layers16", "layers8"]]
+              ["ngram3", "no_gumbel", "__mid__"],
+              ["layers16", "layers8"],
+              ["cache32"]]
     group_base: Dict[int, float] = {}
     med: Dict[tuple, float] = {}
     slope_early = slope_late = None
+    cache32_ms = None
 
     for gi, names in enumerate(groups):
         if args.group is not None and gi != args.group:
@@ -245,6 +271,11 @@ def main(argv=None) -> int:
             if name == "__mid__":
                 gcells[("base", args.mid_budget)] = make_run(
                     params_q, {}, args.mid_budget)
+            elif name == "cache32":
+                # single-budget cell: compared against base at the SAME
+                # step count (lo), so the delta is pure cache-size cost
+                gcells[(name, lo)] = make_run(params_q,
+                                              variants[name], lo)
             elif name in variants:
                 for b in (lo, hi):
                     gcells[(name, b)] = make_run(params_q,
@@ -293,6 +324,9 @@ def main(argv=None) -> int:
                                / (args.mid_budget - lo))
                 slope_late = (1000.0 * (gmed[("base", hi)] - gmed[k_mid])
                               / (hi - args.mid_budget))
+        if ("cache32", lo) in gmed and ("base", lo) in gmed:
+            cache32_ms = (1000.0 * (gmed[("base", lo)]
+                                    - gmed[("cache32", lo)]) / lo)
         for name in names:
             k_lo, k_hi = (name, lo), (name, hi)
             if k_lo in gmed and k_hi in gmed:
@@ -345,7 +379,13 @@ def main(argv=None) -> int:
             "int4_kv_saving": r2(_neg(gdelta("int4_cross_kv"))),
             "logit_rules": r2(_neg(gdelta("rules_off"))),
             "ngram_ban": r2(gdelta("ngram3")),
-            # self-cache growth: slope change as mean cache len rises
+            # per-step (B, V) threefry gumbel draw
+            "gumbel_rng": r2(_neg(gdelta("no_gumbel"))),
+            # self-cache stream: cost of the (hi − 32) extra cache
+            # positions every layer reads, from the cache32 cell
+            "self_cache_tmax": r2(cache32_ms),
+            # with the traced stop_at the budgets share one executable,
+            # so early-vs-late slope is a pure drift check (should be ~0)
             "self_cache_growth": (r2(slope_late - slope_early)
                                   if slope_early is not None else None),
         },
