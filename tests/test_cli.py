@@ -644,3 +644,44 @@ def test_shard_files_deterministic():
     assert flat == sorted(files)              # exact partition
     assert shard_files(files, 2, 4) == slices[2]   # stable
     assert shard_files(files, 0, 1) == files
+
+
+def test_output_dir_source_sentinel_resolution(tmp_path):
+    """'source' (the reference default, main.py:286) resolves per-file to
+    each input's own directory, case-insensitively."""
+    from whisperjav_tpu.modules.media_discovery import (
+        MediaInfo, is_source_sentinel, resolve_output_dir,
+    )
+    for spelling in ("source", "SOURCE", " Source "):
+        assert is_source_sentinel(spelling)
+    assert not is_source_sentinel("./output")
+    a = tmp_path / "a"; b = tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    ma = MediaInfo(path=a / "x.wav", basename="x")
+    mb = MediaInfo(path=b / "y.wav", basename="y")
+    assert resolve_output_dir("source", ma) == a
+    assert resolve_output_dir("source", mb) == b
+    assert resolve_output_dir(str(tmp_path / "out"), ma) == tmp_path / "out"
+
+
+def test_parse_default_output_dir_is_source():
+    args = cli.parse_arguments(["x.wav"])
+    assert args.output_dir.lower().strip() == "source"
+
+
+@pytest.mark.slow
+def test_main_source_mode_writes_next_to_inputs(tmp_path, tiny_loader):
+    """Two inputs in different directories each get their SRT beside
+    them; --skip-existing then skips both (srt OR vtt counts)."""
+    d1 = tmp_path / "d1"; d2 = tmp_path / "d2"
+    d1.mkdir(); d2.mkdir()
+    w1 = _wav(d1, "one.wav", seconds=3.0)
+    w2 = _wav(d2, "two.wav", seconds=3.0)
+    rc = cli.main([str(w1), str(w2), "--mode", "fast", "--batch-size", "2"])
+    assert rc == 0
+    assert (d1 / "one.ja.whisperjav.srt").exists()
+    assert (d2 / "two.ja.whisperjav.srt").exists()
+    # second run: everything already exists → nothing to do, rc 0
+    rc = cli.main([str(w1), str(w2), "--mode", "fast", "--batch-size", "2",
+                   "--skip-existing"])
+    assert rc == 0

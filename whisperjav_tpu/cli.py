@@ -62,7 +62,9 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--task", default=None,
                    choices=["transcribe", "translate"],
                    help="explicit task override (wins over --subs-language)")
-    p.add_argument("--output-dir", default="./output")
+    # "source" (the reference's default, main.py:286) saves each SRT
+    # next to its own input file; anything else is a literal directory
+    p.add_argument("--output-dir", default="source")
     p.add_argument("--temp-dir", default=None)
     p.add_argument("--keep-temp", action="store_true",
                    help="keep intermediate artifacts (raw pre-sanitize SRT)")
@@ -671,14 +673,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             logger.info("multihost: no files assigned to this process")
             return 0
 
-    output_dir = Path(args.output_dir)
+    from whisperjav_tpu.modules.media_discovery import resolve_output_dir
+    output_dir = args.output_dir          # may be the "source" sentinel
+
+    def out_for(m):
+        return resolve_output_dir(output_dir, m)
+
     out_lang = "ja" if task == "transcribe" else "en"
 
     if args.skip_existing:
         remaining = []
         for m in media:
-            srt = output_dir / f"{m.basename}.{out_lang}.whisperjav.srt"
-            if srt.exists():
+            stem = f"{m.basename}.{out_lang}.whisperjav"
+            srt = out_for(m) / f"{stem}.srt"
+            vtt = out_for(m) / f"{stem}.vtt"   # reference checks both,
+            if srt.exists() or vtt.exists():   # main.py:1254-1257
                 logger.info("skip existing: %s", srt.name)
             else:
                 remaining.append(m)
@@ -955,7 +964,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     for m in media:
         try:
             with progress.suppress_external():
-                result = pipeline.process(m, output_dir)
+                result = pipeline.process(m, out_for(m))
             _finalize_outputs(result.srt_path)
             batch_stats.append(result.metadata)
         except Exception as e:  # keep the batch going, reference behavior

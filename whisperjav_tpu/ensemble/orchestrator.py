@@ -86,14 +86,23 @@ class EnsembleOrchestrator:
         processes file-at-a-time instead (reference:
         ensemble/orchestrator.py:110-115).
         """
-        output_dir = Path(output_dir)
-        output_dir.mkdir(parents=True, exist_ok=True)
         t0 = time.time()
 
         if self.serial_mode:
             results = [self._process_one(m, output_dir) for m in media]
         else:
             results = self._process_batch_major(media, output_dir)
+
+        # batch summary lands in the shared dir, or (source mode) next
+        # to the first input file
+        from whisperjav_tpu.modules.media_discovery import (
+            is_source_sentinel, resolve_output_dir,
+        )
+        if media and is_source_sentinel(output_dir):
+            summary_dir = resolve_output_dir(output_dir, media[0])
+        else:
+            summary_dir = Path(output_dir)
+        summary_dir.mkdir(parents=True, exist_ok=True)
 
         summary = {
             "files": len(media),
@@ -108,7 +117,7 @@ class EnsembleOrchestrator:
                 for r in results
             ],
         }
-        (output_dir / "ensemble_batch.json").write_text(
+        (summary_dir / "ensemble_batch.json").write_text(
             json.dumps(summary, indent=2, default=str), encoding="utf-8")
         return summary
 
@@ -126,7 +135,10 @@ class EnsembleOrchestrator:
                   language: str) -> EnsembleFileResult:
         if self.postprocessor is not None:
             subs, _ = self.postprocessor.process(subs, language=language)
-        srt_path = output_dir / f"{media.basename}.{language}.whisperjav.srt"
+        from whisperjav_tpu.modules.media_discovery import resolve_output_dir
+        out = resolve_output_dir(output_dir, media)
+        out.mkdir(parents=True, exist_ok=True)
+        srt_path = out / f"{media.basename}.{language}.whisperjav.srt"
         save_srt(srt_path, subs)
         return EnsembleFileResult(media, status, srt_path, merge_stats)
 

@@ -135,3 +135,26 @@ def discover(inputs: Sequence[Union[str, Path]], recursive: bool = False) -> Lis
             logger.warning("input not found: %s", s)
 
     return [probe(p) for p in found]
+
+
+# ---------------------------------------------------------------------------
+# output-directory resolution
+# ---------------------------------------------------------------------------
+
+def is_source_sentinel(output_dir) -> bool:
+    """True when --output-dir is the ``source`` sentinel (any case,
+    surrounding whitespace ignored — reference main.py:974-975)."""
+    return str(output_dir).lower().strip() == "source"
+
+
+def resolve_output_dir(output_dir, media: MediaInfo) -> Path:
+    """Per-file output directory.
+
+    The reference's default ``--output-dir source`` saves each SRT next
+    to its own input file (main.py:286 default, main.py:1263-1266
+    per-file override in the batch loop); anything else is a literal
+    directory shared by the whole batch.
+    """
+    if is_source_sentinel(output_dir):
+        return Path(media.path).parent
+    return Path(output_dir)

@@ -103,7 +103,8 @@ class AsyncPipelineManager:
         if self.pipeline.postprocessor is not None:
             subtitles, _ = self.pipeline.postprocessor.process(
                 subtitles, language=self.pipeline.language)
-        output_dir = Path(output_dir)
+        from whisperjav_tpu.modules.media_discovery import resolve_output_dir
+        output_dir = resolve_output_dir(output_dir, media)
         output_dir.mkdir(parents=True, exist_ok=True)
         srt_path = output_dir / (
             f"{media.basename}.{self.pipeline.language}.whisperjav.srt")
