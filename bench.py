@@ -271,18 +271,29 @@ def child():
     np.asarray(res.tokens)
     _progress("warmup (compile) done")
 
-    # steady-state loop mirrors transcribe_windows' double buffering:
+    # steady-state loop mirrors transcribe_windows' pipelining:
     # batch i+1's host->device upload is dispatched before batch i's
-    # tokens are drained, so the transfer streams behind compute.
+    # tokens are drained (transfer streams behind compute), and batch
+    # i+1's ENCODE is dispatched between batch i's decode dispatch and
+    # its drain, so the chip rolls decode(i) -> encode(i+1) with no
+    # host round-trip bubble (WJAV_ENCODE_AHEAD=0 for the A/B control).
     # Time-boxed: stop once the budget is nearly spent and report the
     # iterations that completed.
     loop_deadline = _T_START + budget - 2 * WATCHDOG_MARGIN_S
+    ahead = os.environ.get("WJAV_ENCODE_AHEAD", "1") != "0"
     dev = engine.upload_audio(audio)
+    xa = engine.encode_batch(device_audio=dev) if ahead else None
     t0 = time.time()
     for i in range(TIMED_BATCHES):
         nxt = engine.upload_audio(audio) if i + 1 < TIMED_BATCHES else None
-        res = engine.decode_batch(audio, 0.0, i + 1, device_audio=dev)
-        np.asarray(res.tokens)  # force per-iteration materialization
+        if ahead:
+            res = engine.decode_encoded(xa, 0.0, i + 1)
+            if nxt is not None:
+                xa = engine.encode_batch(device_audio=nxt)
+            np.asarray(res.tokens)  # force per-iteration materialization
+        else:
+            res = engine.decode_batch(audio, 0.0, i + 1, device_audio=dev)
+            np.asarray(res.tokens)
         dev = nxt
         _STATE["iters"] = i + 1
         _STATE["loop_elapsed"] = time.time() - t0

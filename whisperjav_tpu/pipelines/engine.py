@@ -169,6 +169,28 @@ class TranscriptionEngine:
             else self.upload_audio(audio))
         return self.decode_encoded(xa, temperature, seed)
 
+    def encode_batch(self, audio=None, device_audio: Optional[jax.Array] = None,
+                     max_duration: Optional[float] = None) -> jax.Array:
+        """Dispatch the encoder program (async) and bucket-slice its output.
+
+        Returns a lazy device array — callers can dispatch this for batch
+        i+1 while batch i's decode is still draining (encode-ahead
+        pipelining, :meth:`transcribe_windows`). ``max_duration`` picks
+        the cross-KV bucket (CROSS_KV_BUCKETS) covering the longest
+        window so the decode streams no padding frames.
+        """
+        xa = self._encode_fn(
+            self.params,
+            device_audio if device_audio is not None
+            else self.upload_audio(audio))
+        if max_duration is not None:
+            need = int(np.ceil(max_duration * FRAMES_PER_SECOND)) + 8
+            bucket = next((b for b in CROSS_KV_BUCKETS if b >= need),
+                          CROSS_KV_BUCKETS[-1])
+            if bucket < xa.shape[1]:
+                xa = xa[:, :bucket]
+        return xa
+
     def upload_audio(self, audio) -> jax.Array:
         """float32 [-1, 1] host audio → int16 on the device (async).
 
@@ -259,27 +281,32 @@ class TranscriptionEngine:
     # ------------------------------------------------------------------
     def transcribe_batch(self, batch: WindowBatch, seed: int = 0,
                          device_audio: Optional[jax.Array] = None,
+                         device_xa: Optional[jax.Array] = None,
+                         on_decode_dispatched=None,
                          ) -> List[List[DecodedSegment]]:
         """Decode one padded batch with the temperature fallback ladder.
 
         Returns per-valid-window segment lists (window-relative times),
         already filtered by the no-speech × logprob gate.
         ``device_audio``: a pre-uploaded array from :meth:`upload_audio`
-        (double-buffering path).
+        (double-buffering path). ``device_xa``: already-encoded (and
+        bucket-sliced) encoder states from :meth:`encode_batch` — skips
+        the encoder here (encode-ahead pipelining).
+        ``on_decode_dispatched``: zero-arg callable invoked after the
+        first-rung decode program is dispatched but before its tokens
+        are drained — :meth:`transcribe_windows` uses it to enqueue
+        batch i+1's encode so the chip rolls straight from decode(i)
+        into encode(i+1) while the host drains and post-processes.
         """
         th = self.thresholds
         temps = th.temperatures
-        xa = self._encode_fn(
-            self.params,
-            device_audio if device_audio is not None
-            else self.upload_audio(batch.audio))
         max_dur = max((w.duration for w in batch.windows), default=30.0)
-        need = int(np.ceil(max_dur * FRAMES_PER_SECOND)) + 8  # pad margin
-        bucket = next((b for b in CROSS_KV_BUCKETS if b >= need),
-                      CROSS_KV_BUCKETS[-1])
-        if bucket < xa.shape[1]:
-            xa = xa[:, :bucket]
+        xa = (device_xa if device_xa is not None
+              else self.encode_batch(batch.audio, device_audio=device_audio,
+                                     max_duration=max_dur))
         result = self.decode_encoded(xa, temps[0], seed)
+        if on_decode_dispatched is not None:
+            on_decode_dispatched()
         tokens = np.array(result.tokens)         # writable host copies
         avg_lp = np.array(result.avg_logprob)
         no_speech = np.array(result.no_speech_prob)
@@ -375,19 +402,46 @@ class TranscriptionEngine:
     ) -> List[Tuple[Window, List[DecodedSegment]]]:
         """Decode an arbitrary window list in fixed-shape batches.
 
-        Batch i+1's host→device audio upload is dispatched before batch
-        i's decode is drained, so the transfer streams behind compute
-        (double buffering — the transfer is the second-largest cost on
-        tunneled hosts)."""
+        Two pipelining levers (both async dispatches, ADR-002):
+
+        - batch i+1's host→device audio upload is dispatched before
+          batch i's decode is drained, so the transfer streams behind
+          compute (double buffering — the transfer is the
+          second-largest cost on tunneled hosts);
+        - batch i+1's ENCODE is dispatched right after batch i's decode
+          program (via ``on_decode_dispatched``), before the host
+          drains tokens — the chip rolls from decode(i) straight into
+          encode(i+1) while the host blocks on the tunnel drain and
+          then runs segment extraction / tokenization, instead of
+          idling for a host round-trip per batch. Disable with
+          ``WJAV_ENCODE_AHEAD=0`` (A/B knob; also the fallback if the
+          extra resident encoder output ever OOMs a config)."""
+        import os
+        ahead_on = os.environ.get("WJAV_ENCODE_AHEAD", "1") != "0"
         results: List[Tuple[Window, List[DecodedSegment]]] = []
         batches = list(batch_windows(windows, self.batch_size))
         dev = self.upload_audio(batches[0].audio) if batches else None
+        xa = None
         for bi, batch in enumerate(batches):
             nxt = (self.upload_audio(batches[bi + 1].audio)
                    if bi + 1 < len(batches) else None)
-            segs = self.transcribe_batch(batch, seed=seed + bi * 131,
-                                         device_audio=dev)
+            nxt_holder = {}
+
+            def _encode_ahead(nxt=nxt, bi=bi, holder=nxt_holder):
+                if nxt is not None:
+                    nxt_batch = batches[bi + 1]
+                    holder["xa"] = self.encode_batch(
+                        device_audio=nxt,
+                        max_duration=max((w.duration
+                                          for w in nxt_batch.windows),
+                                         default=30.0))
+
+            segs = self.transcribe_batch(
+                batch, seed=seed + bi * 131, device_audio=dev,
+                device_xa=xa,
+                on_decode_dispatched=_encode_ahead if ahead_on else None)
             results.extend(zip(batch.windows, segs))
             dev = nxt
+            xa = nxt_holder.get("xa")
         results.sort(key=lambda p: (p[0].scene_idx, p[0].group_idx))
         return results
