@@ -62,9 +62,12 @@ def test_translate_with_injected_provider(tmp_path):
                         target_language="English")
     subs = load_srt(out)
     assert all(s.text.startswith("EN[") for s in subs)
-    # project file recorded progress
+    # project file recorded progress (v2 scene/batch schema)
     proj = json.loads(p.with_suffix(".wjtrans.json").read_text())
-    assert len(proj["translated"]) == 5
+    assert proj["schema"] == 2
+    done = {k: v for b in proj["batches"] for k, v in b["translated"].items()}
+    assert len(done) == 5
+    assert all(b["status"] == "done" for b in proj["batches"])
 
 
 def test_translate_resume_skips_done(tmp_path):

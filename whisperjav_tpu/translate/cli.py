@@ -40,6 +40,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--max-batch-size", type=int,
                    default=stored["max_batch_size"],
                    help="cap subtitle lines per request")
+    p.add_argument("--scene-threshold", type=float,
+                   default=stored.get("scene_threshold", 60.0),
+                   help="gap in seconds that starts a new scene "
+                        "(batch boundaries align to scene pauses)")
     p.add_argument("--movie-title", default=stored["movie_title"],
                    help="movie title woven into the prompt context")
     p.add_argument("--movie-plot", default=stored["movie_plot"])
@@ -58,6 +62,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         provider=args.provider, model=args.model,
         target_language=args.target_language, tone=args.tone,
         max_batch_size=args.max_batch_size,
+        scene_threshold=args.scene_threshold,
         movie_title=args.movie_title, movie_plot=args.movie_plot,
         actress=args.actress,
         ollama_url=args.base_url or stored.get("ollama_url"),
@@ -83,6 +88,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         base_url=args.base_url, tone=args.tone,
         auto_start_ollama=not args.no_auto_start,
         max_batch_size=args.max_batch_size,
+        scene_threshold=args.scene_threshold,
         movie_context=movie_context_block(effective))
     print(out)
     return 0

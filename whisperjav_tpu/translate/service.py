@@ -1,71 +1,38 @@
-"""Subtitle translation service with batch resume.
+"""Subtitle translation service with scene/batch resume.
 
 Role parity with reference ``whisperjav/translate/service.py`` + ``core.py``
 (PySubtrans-based batch translation with .subtrans project resume and
 batch sizes capped to the LLM context window), rebuilt without
-PySubtrans: SRT cues are translated in numbered batches through a
-provider chat endpoint, progress persists to a ``.wjtrans.json`` project
-file so interrupted runs resume, and failures leave untranslated batches
-intact (the output keeps source text for them).
+PySubtrans: cues are grouped into scenes and gap-aligned batches
+(:mod:`whisperjav_tpu.translate.project`), each batch is translated
+through a provider chat endpoint with rolling <scene>/<summary>
+context, progress persists to a ``.wjtrans.json`` project file (saved
+after every batch) so interrupted runs resume at batch granularity,
+and failures leave untranslated batches intact (the output keeps
+source text for them).
 """
 
 from __future__ import annotations
 
-import json
 import re
-import time
-from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, Optional
 
 from whisperjav_tpu.modules.srt import Subtitle, load_srt, save_srt
 from whisperjav_tpu.translate.providers import (
     ProviderConfig, get_api_key, max_batch_lines, resolve_provider,
 )
 from whisperjav_tpu.translate.instructions import get_instruction_content
+from whisperjav_tpu.translate.project import (
+    DEFAULT_SCENE_THRESHOLD, ProjectV2, extract_summary,
+)
 from whisperjav_tpu.utils.logger import logger
 
 # numbered-line response protocol appended to every instruction set
-_PROTOCOL = ("\nOutput one line per number in the exact form "
-             "'N: translation'.")
-
-
-@dataclass
-class TranslationProject:
-    """Resumable translation state (role of the .subtrans project file)."""
-    source: str
-    provider: str
-    model: str
-    target_language: str
-    translated: Dict[str, str] = field(default_factory=dict)  # index → text
-
-    def path_for(self, srt_path: Path) -> Path:
-        return srt_path.with_suffix(".wjtrans.json")
-
-    def save(self, srt_path: Path) -> None:
-        self.path_for(srt_path).write_text(
-            json.dumps(self.__dict__, ensure_ascii=False, indent=1),
-            encoding="utf-8")
-
-    @classmethod
-    def load_or_new(cls, srt_path: Path, provider: str, model: str,
-                    target: str) -> "TranslationProject":
-        p = srt_path.with_suffix(".wjtrans.json")
-        if p.exists():
-            try:
-                data = json.loads(p.read_text(encoding="utf-8"))
-                if (data.get("provider") == provider
-                        and data.get("target_language") == target):
-                    proj = cls(**{k: data[k] for k in
-                                  ("source", "provider", "model",
-                                   "target_language")})
-                    proj.translated = data.get("translated", {})
-                    logger.info("resuming translation: %d lines done",
-                                len(proj.translated))
-                    return proj
-            except (json.JSONDecodeError, KeyError):
-                logger.warning("corrupt project file %s; starting fresh", p)
-        return cls(str(srt_path), provider, model, target)
+_PROTOCOL = (
+    "\nOutput one line per number in the exact form 'N: translation'. "
+    "After the last line, you may add one line "
+    "'<summary>one sentence summarizing this dialogue</summary>'.")
 
 
 _LINE_RE = re.compile(r"^\s*(\d+)\s*[:：.)）]\s*(.*)$")
@@ -155,6 +122,7 @@ def translate_srt(
     call_fn: Optional[Callable] = None,   # injection point for tests
     max_batch_size: Optional[int] = None,
     movie_context: Optional[str] = None,
+    scene_threshold: float = DEFAULT_SCENE_THRESHOLD,
 ) -> Path:
     """Translate an SRT file batch-by-batch with resume; returns output path.
 
@@ -188,11 +156,14 @@ def translate_srt(
                     ", server auto-started"
                     if ready["server_started"] else "")
     subs = load_srt(srt_path)
-    project = TranslationProject.load_or_new(srt_path, provider, model,
-                                             target_language)
+    project = ProjectV2.load_or_new(srt_path, provider, model,
+                                    target_language,
+                                    scene_threshold=scene_threshold,
+                                    synopsis=movie_context)
     batch_size = batch_override or max_batch_lines(cfg)
     if max_batch_size:
         batch_size = min(batch_size, max_batch_size)
+    project.build(subs, batch_size)
     call = call_fn or (lambda prompt: _call_provider(cfg, prompt, model))
     instructions = get_instruction_content(tone, target_language)
     if movie_context:
@@ -200,29 +171,40 @@ def translate_srt(
         # actress injected for name & register handling)
         instructions = instructions + "\n" + movie_context + "\n"
 
-    pending = [s for s in subs if str(s.index) not in project.translated]
-    logger.info("translating %d/%d cues via %s (%s), batch=%d",
-                len(pending), len(subs), provider, model, batch_size)
+    by_index = {s.index: s for s in subs}
+    pending = project.pending()
+    n_pending = sum(len(b.indices) for b in pending)
+    logger.info("translating %d/%d cues via %s (%s): %d scenes, "
+                "%d/%d batches left, batch<=%d",
+                n_pending, len(subs), provider, model,
+                len({b.scene for b in project.batches}),
+                len(pending), len(project.batches), batch_size)
 
-    for i in range(0, len(pending), batch_size):
-        batch = pending[i:i + batch_size]
+    for bstate in pending:
+        batch = [by_index[i] for i in bstate.indices if i in by_index]
+        if not batch:
+            continue
         numbered = "\n".join(
             f"{s.index}: {s.text.replace(chr(10), ' ')}" for s in batch)
-        prompt = instructions + _PROTOCOL + "\n---\n" + numbered
+        ctx = project.context_for(bstate)
+        prompt = (instructions + _PROTOCOL
+                  + (("\n" + ctx) if ctx else "")
+                  + "\n---\n" + numbered)
         try:
             response = call(prompt)
         except Exception as e:  # noqa: BLE001 — keep remaining batches
             logger.error("translation batch failed (%s); keeping source "
                          "text for %d cues", e, len(batch))
+            bstate.status = "failed"
+            project.save(srt_path)
             continue
-        parsed = parse_numbered_response(response)
-        for s in batch:
-            if s.index in parsed and parsed[s.index]:
-                project.translated[str(s.index)] = parsed[s.index]
+        project.record(bstate, parse_numbered_response(response),
+                       extract_summary(response))
         project.save(srt_path)
 
+    translated = project.translated_map()
     out = [Subtitle(s.index, s.start, s.end,
-                    project.translated.get(str(s.index), s.text))
+                    translated.get(str(s.index), s.text))
            for s in subs]
     if output_path is None:
         lang_tag = _iso_tag(target_language)
@@ -247,4 +229,6 @@ def translate_with_config(config: Dict) -> Path:
         base_url=config.get("base_url"),
         tone=config.get("tone", "standard"),
         auto_start_ollama=config.get("auto_start_ollama", True),
+        scene_threshold=config.get("scene_threshold",
+                                   DEFAULT_SCENE_THRESHOLD),
     )

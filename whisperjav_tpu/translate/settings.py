@@ -25,6 +25,8 @@ DEFAULT_SETTINGS: Dict = {
     "target_language": "English",
     "tone": "standard",
     "max_batch_size": 30,
+    # scene split gap in seconds (reference: translate/cli.py:293)
+    "scene_threshold": 60.0,
     "autosave": True,
     # movie context woven into the translation instructions
     # (reference: settings.py movie_title/movie_plot/actress)
