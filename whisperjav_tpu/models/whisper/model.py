@@ -38,6 +38,12 @@ _PALLAS_DECODE = os.environ.get("WJAV_PALLAS_DECODE", "0") == "1"
 # share of the unattributed ~26 ms/step
 _CARRY_CACHE = os.environ.get("WJAV_CARRY_CACHE", "0") == "1"
 
+# decoder layer-scan unroll factor (A/B knob, docs/ADR-002): each decode
+# step runs a 32-iteration layer scan of small ops; unrolling lets XLA
+# schedule/fuse across layer boundaries and amortize per-iteration
+# bookkeeping. 1 = plain scan. Read once at import (trace-time static).
+_SCAN_UNROLL = max(1, int(os.environ.get("WJAV_SCAN_UNROLL", "1")))
+
 Params = Dict[str, Any]
 
 
@@ -417,9 +423,19 @@ def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
     b, q_len, d = x.shape
     # --- causal self-attention over the cache ---
     h = layer_norm(x, layer_p["ln1_s"], layer_p["ln1_b"])
-    q = _split_heads(dense(h, layer_p["wq"], layer_p["bq"]), n_head)
-    k_new = dense(h, layer_p["wk"])
-    v_new = dense(h, layer_p["wv"], layer_p["bv"])
+    if "wqkv" in layer_p:
+        # fused q/k/v projection (quant.py:fuse_qkv_weights): one
+        # (d, 3d) matmul instead of three kernels per layer per step.
+        # Bitwise identical — each output column's dot product and
+        # bias add are unchanged (k's bias slot is zeros).
+        qkv = dense(h, layer_p["wqkv"], layer_p["bqkv"])
+        q_new, k_new, v_new = (qkv[..., :d], qkv[..., d:2 * d],
+                               qkv[..., 2 * d:])
+        q = _split_heads(q_new, n_head)
+    else:
+        q = _split_heads(dense(h, layer_p["wq"], layer_p["bq"]), n_head)
+        k_new = dense(h, layer_p["wk"])
+        v_new = dense(h, layer_p["wv"], layer_p["bv"])
     if carry_cache is not None:
         ck_full, cv_full, l_idx = carry_cache
         ck_full = jax.lax.dynamic_update_slice(
@@ -517,7 +533,8 @@ def decode_hidden(
 
         x, (new_k, new_v) = jax.lax.scan(
             body, x, (dec["blocks"], jnp.arange(n_layers),
-                      cross.k_scale, cross.v_scale, cache.k, cache.v))
+                      cross.k_scale, cross.v_scale, cache.k, cache.v),
+            unroll=_SCAN_UNROLL)
     elif _CARRY_CACHE:
         # self-KV cache rides the scan CARRY (in-place aliased) instead
         # of xs/ys — the ys path stacks a full cache copy as scan output
@@ -536,7 +553,7 @@ def decode_hidden(
         (x, new_k, new_v), _ = jax.lax.scan(
             body, (x, cache.k, cache.v),
             (dec["blocks"], jnp.arange(n_layers), cross.k, cross.v,
-             cross.k_scale, cross.v_scale))
+             cross.k_scale, cross.v_scale), unroll=_SCAN_UNROLL)
     else:
         def body(h, xs):
             layer_p, ck, cv, cks, cvs, sk, sv = xs
@@ -547,7 +564,8 @@ def decode_hidden(
 
         x, (new_k, new_v) = jax.lax.scan(
             body, x, (dec["blocks"], cross.k, cross.v, cross.k_scale,
-                      cross.v_scale, cache.k, cache.v))
+                      cross.v_scale, cache.k, cache.v),
+            unroll=_SCAN_UNROLL)
     x = layer_norm(x, dec["ln_s"], dec["ln_b"])
     return x, KVCache(new_k, new_v)
 

@@ -30,12 +30,43 @@ def _quantize(w: jax.Array) -> Dict[str, jax.Array]:
     return {"q": q, "s": s}
 
 
+def fuse_qkv_weights(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Concatenate each decoder block's self-attention q/k/v projections
+    into one stacked (L, d, 3d) matmul (``wqkv``/``bqkv``).
+
+    One kernel per layer per decode step instead of three — the decode
+    loop's matmuls are tiny (B×d×d), so launch/bookkeeping overhead is
+    a real share of step time (docs/ADR-002 attribution). Bitwise
+    identical to the separate projections: each output column's dot
+    product is over the same K axis, and k's bias slot is zeros (the
+    whisper k projection has no bias). Apply BEFORE
+    :func:`quantize_decoder_weights` — per-output-channel scales make
+    quantize(concat) == concat(quantize).
+    """
+    out = dict(params)
+    dec = dict(params["decoder"])
+    blocks = dict(dec["blocks"])
+    wq, wk, wv = blocks.pop("wq"), blocks.pop("wk"), blocks.pop("wv")
+    bq, bv = blocks.pop("bq"), blocks.pop("bv")
+    blocks["wqkv"] = jnp.concatenate([jnp.asarray(wq), jnp.asarray(wk),
+                                      jnp.asarray(wv)], axis=-1)
+    zero_bk = jnp.zeros_like(jnp.asarray(bq))
+    blocks["bqkv"] = jnp.concatenate([jnp.asarray(bq), zero_bk,
+                                      jnp.asarray(bv)], axis=-1)
+    dec["blocks"] = blocks
+    out["decoder"] = dec
+    return out
+
+
 def quantize_decoder_weights(params: Dict[str, Any]) -> Dict[str, Any]:
     """Return a new param tree with int8 decoder matmuls + lm_head_q."""
     out = dict(params)
     dec = dict(params["decoder"])
     blocks = dict(dec["blocks"])
-    for name in _DECODE_HOT:
+    hot = (("wqkv",) + tuple(n for n in _DECODE_HOT
+                             if n not in ("wq", "wk", "wv"))
+           if "wqkv" in blocks else _DECODE_HOT)
+    for name in hot:
         blocks[name] = _quantize(blocks[name])
     dec["blocks"] = blocks
     dec["lm_head_q"] = _quantize(jnp.asarray(dec["tok_emb"]).T)

@@ -78,9 +78,16 @@ def cross_attention_maps(
         layer_p, mask_l = xs
         # self-attention (full-sequence causal)
         h = layer_norm(h_state, layer_p["ln1_s"], layer_p["ln1_b"])
-        q = _split_heads(dense(h, layer_p["wq"], layer_p["bq"]), n_head)
-        k = _split_heads(dense(h, layer_p["wk"]), n_head)
-        v = _split_heads(dense(h, layer_p["wv"], layer_p["bv"]), n_head)
+        if "wqkv" in layer_p:      # engine trees fuse q/k/v (quant.py)
+            d_model = h.shape[-1]
+            qkv = dense(h, layer_p["wqkv"], layer_p["bqkv"])
+            q = _split_heads(qkv[..., :d_model], n_head)
+            k = _split_heads(qkv[..., d_model:2 * d_model], n_head)
+            v = _split_heads(qkv[..., 2 * d_model:], n_head)
+        else:
+            q = _split_heads(dense(h, layer_p["wq"], layer_p["bq"]), n_head)
+            k = _split_heads(dense(h, layer_p["wk"]), n_head)
+            v = _split_heads(dense(h, layer_p["wv"], layer_p["bv"]), n_head)
         hd = q.shape[-1]
         sc = hd ** -0.25
         logits = jnp.einsum("bqhd,bkhd->bhqk", q * sc, k * sc,

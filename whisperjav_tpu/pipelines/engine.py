@@ -83,6 +83,9 @@ class TranscriptionEngine:
         # trip per op, and inspecting dtypes via np.asarray() downloaded
         # every weight through the ~37 MB/s tunnel (~400 s for large-v2).
         # jnp.issubdtype on the abstract dtype transfers nothing.
+        import os
+        fuse_qkv = os.environ.get("WJAV_FUSE_QKV", "1") != "0"
+
         def _prepare(tree):
             def cast(x):
                 if jnp.issubdtype(x.dtype, jnp.floating):
@@ -90,6 +93,14 @@ class TranscriptionEngine:
                 return x
 
             tree = jax.tree.map(cast, tree)
+            if fuse_qkv:
+                # one (d, 3d) q/k/v matmul per decoder layer per step
+                # instead of three kernels — bitwise identical
+                # (quant.py:fuse_qkv_weights); WJAV_FUSE_QKV=0 = A/B off
+                from whisperjav_tpu.models.whisper.quant import (
+                    fuse_qkv_weights,
+                )
+                tree = fuse_qkv_weights(tree)
             if int8_weights:
                 from whisperjav_tpu.models.whisper.quant import (
                     quantize_decoder_weights,
