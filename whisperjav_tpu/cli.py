@@ -327,11 +327,42 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                             "smart_merge", "full_merge", "longest"])
     e.add_argument("--ensemble-serial", action="store_true",
                    help="process files one at a time through both passes")
-    p.add_argument("--translate", default=None, metavar="PROVIDER",
+    p.add_argument("--translate", "--translate-provider", dest="translate",
+                   default=None, metavar="PROVIDER",
                    help="translate output SRTs after transcription "
                         "(identity/deepseek/gpt/claude/gemini/ollama/…)")
     p.add_argument("--translate-model", default=None)
     p.add_argument("--translate-target", default="English")
+    p.add_argument("--translate-tone", default="standard",
+                   choices=["standard", "pornify"],
+                   help="translation instruction-set flavor")
+    p.add_argument("--translate-title", default=None,
+                   help="movie title for translation context")
+    p.add_argument("--translate-plot", default=None,
+                   help="plot summary for translation context")
+    p.add_argument("--translate-actress", default=None,
+                   help="performer name(s) for pronoun/name handling")
+    p.add_argument("--translate-endpoint", "--ollama-url",
+                   dest="translate_endpoint", default=None,
+                   help="custom API/Ollama base URL for translation")
+    p.add_argument("--translate-api-key", default=None,
+                   help="API key for the translation provider (exported "
+                        "to the provider's key env var for this run)")
+    p.add_argument("--translate-quiet", action="store_true",
+                   help="hide translation progress messages")
+    p.add_argument("--ollama-max-tokens", type=int, default=None,
+                   help="accepted for reference compatibility; the TPU "
+                        "build derives output budgets from the model's "
+                        "context window (translate/ollama_manager.py)")
+    p.add_argument("--ollama-num-ctx", type=int, default=None,
+                   help="override the Ollama context window used to "
+                        "derive the translation batch size")
+    p.add_argument("--stream", action="store_true",
+                   help="accepted for reference compatibility; providers "
+                        "here run batch requests")
+    p.add_argument("--yes", "-y", action="store_true",
+                   help="auto-confirm prompts (server starts); the TPU "
+                        "CLI never blocks on confirmation anyway")
     p.add_argument("--devices", type=int, default=None,
                    help="number of accelerator chips to shard window "
                         "batches over (default: all visible; 1 = "
@@ -369,6 +400,35 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--log-file", default=None)
     p.add_argument("--check", action="store_true",
                    help="run environment preflight checks and exit")
+    p.add_argument("--check-verbose", action="store_true",
+                   help="alias of --check (reference main.py:267)")
+    # ── CUDA/torch-era hardware flags (reference main.py hardware
+    # group): accepted so reference command lines run unchanged; the
+    # TPU build selects device/dtype itself. --compute-type maps onto
+    # the int8-weight path (CTranslate2 int8 ≙ quant.py int8).
+    p.add_argument("--device", default=None,
+                   help="accepted for reference compatibility (cuda/cpu); "
+                        "device selection here is JAX_PLATFORMS")
+    p.add_argument("--compute-type", default=None,
+                   choices=["int8", "int8_float16", "int8_bfloat16",
+                            "float16", "bfloat16", "float32", "auto"],
+                   help="CTranslate2-style precision: int8* enables "
+                        "--int8-weights, float* disables it")
+    p.add_argument("--accept-cpu-mode", action="store_true",
+                   help="proceed without an accelerator (CPU fallback is "
+                        "automatic here; flag accepted for compatibility)")
+    p.add_argument("--crash-trace", action="store_true",
+                   help="enable faulthandler crash tracebacks "
+                        "(reference: utils/crash_tracer.py role)")
+    p.add_argument("--xxl-exe", default=None,
+                   help="accepted for reference compatibility; BYOP XXL "
+                        "external executables are n/a on TPU (PARITY #59)")
+    for _flag in ("--hf-attn", "--hf-device", "--hf-dtype", "--qwen-attn",
+                  "--qwen-device", "--qwen-dtype",
+                  "--translate-gpu-layers"):
+        p.add_argument(_flag, default=None,
+                       help="accepted for reference compatibility; "
+                            "torch/CUDA-specific, no TPU effect")
     p.add_argument("--dump-params", action="store_true",
                    help="print the resolved runtime config and exit")
     p.add_argument("--version", action="version",
@@ -508,6 +568,56 @@ _FEATURE_TO_SCENE = {
 }
 
 
+def _translate_output(args, srt_path: Path) -> None:
+    """Post-transcription translation with the full reference flag set
+    (reference main.py translation_group): tone, movie context,
+    endpoint/api-key overrides, Ollama context-window override, quiet
+    mode."""
+    import logging
+    import os as _os
+
+    from whisperjav_tpu.translate.providers import resolve_provider
+    from whisperjav_tpu.translate.service import translate_srt
+    from whisperjav_tpu.translate.settings import movie_context_block
+
+    if args.translate_api_key:
+        cfg = resolve_provider(args.translate,
+                               base_url=args.translate_endpoint,
+                               model=args.translate_model)
+        if cfg.api_key_env:
+            _os.environ[cfg.api_key_env] = args.translate_api_key
+    max_batch = None
+    if args.ollama_num_ctx:
+        import dataclasses as _dc
+
+        from whisperjav_tpu.translate.providers import max_batch_lines
+        cfg = resolve_provider(args.translate,
+                               base_url=args.translate_endpoint,
+                               model=args.translate_model)
+        max_batch = max_batch_lines(
+            _dc.replace(cfg, context_window=args.ollama_num_ctx))
+    ctx = movie_context_block({
+        "movie_title": args.translate_title,
+        "movie_plot": args.translate_plot,
+        "actress": args.translate_actress,
+    })
+    wj_logger = logging.getLogger("whisperjav_tpu")
+    prev_level = wj_logger.level
+    if args.translate_quiet:
+        wj_logger.setLevel(logging.WARNING)
+    try:
+        translate_srt(srt_path, provider=args.translate,
+                      model=args.translate_model,
+                      target_language=args.translate_target,
+                      base_url=args.translate_endpoint,
+                      tone=args.translate_tone,
+                      max_batch_size=max_batch,
+                      movie_context=ctx)
+    finally:
+        if args.translate_quiet:
+            wj_logger.setLevel(prev_level)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_arguments(argv)
     if args.asr:
@@ -532,10 +642,32 @@ def main(argv: Optional[List[str]] = None) -> int:
     logger = setup_logger(args.verbosity,
                           Path(args.log_file) if args.log_file else None)
 
-    if args.check:
+    if args.check or args.check_verbose:
         from whisperjav_tpu.utils.preflight import run_preflight_checks
         ok = run_preflight_checks(verbose=True)
         return 0 if ok else 1
+
+    if args.crash_trace:
+        import faulthandler
+        faulthandler.enable()
+        logger.info("crash tracing enabled (faulthandler)")
+    if args.compute_type:
+        # CTranslate2 precision spelling → int8 weight path (quant.py)
+        args.int8_weights = args.compute_type.startswith("int8")
+        logger.info("--compute-type %s → int8_weights=%s",
+                    args.compute_type, args.int8_weights)
+    if args.device and args.device.lower().startswith("cuda"):
+        logger.warning("--device %s has no effect: this build targets "
+                       "TPU via JAX (JAX_PLATFORMS selects the backend)",
+                       args.device)
+    _torch_era = [f for f in ("hf_attn", "hf_device", "hf_dtype",
+                              "qwen_attn", "qwen_device", "qwen_dtype",
+                              "translate_gpu_layers")
+                  if getattr(args, f, None) is not None]
+    if _torch_era or args.xxl_exe:
+        logger.debug("torch/CUDA-era flags accepted without effect: %s",
+                     ", ".join(_torch_era + (["xxl_exe"] if args.xxl_exe
+                                             else [])))
 
     if args.condition_on_previous_text == "true":
         logger.warning(
@@ -729,10 +861,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                            mode=cfg.mode.name,
                            sensitivity=cfg.sensitivity.name)
         if args.translate:
-            from whisperjav_tpu.translate.service import translate_srt
-            translate_srt(srt_path, provider=args.translate,
-                          model=args.translate_model,
-                          target_language=args.translate_target)
+            _translate_output(args, srt_path)
         if output_format in ("vtt", "both"):
             from whisperjav_tpu.modules.srt import srt_to_vtt
             srt_to_vtt(srt_path)
