@@ -85,10 +85,13 @@ def get_api_key(cfg: ProviderConfig) -> Optional[str]:
 
 
 def max_batch_lines(cfg: ProviderConfig, avg_line_chars: int = 40,
-                    target_fraction: float = 0.25) -> int:
+                    target_fraction: float = 0.25, cap: int = 30) -> int:
     """Cap translation batch size to a fraction of the context window
     (reference: translate/core.py:7-30). ~1.5 tokens per CJK char, both
-    directions plus instructions."""
+    directions plus instructions. ``cap`` mirrors the reference's
+    max_batch_size default of 30 (translate/settings.py) — huge-context
+    providers still get bounded batches so one bad response can't lose
+    hundreds of lines."""
     budget_tokens = cfg.context_window * target_fraction
     per_line = avg_line_chars * 1.5 * 2 + 10
-    return max(8, int(budget_tokens / per_line))
+    return min(cap, max(8, int(budget_tokens / per_line)))
