@@ -355,3 +355,27 @@ def test_stop_at_is_a_prefix_of_the_full_run(tiny_model):
     assert np.array_equal(a, b)
     # rows past the stop point carry no generated tokens
     assert (np.asarray(part.length) == 6).all()
+
+
+def test_decode_profile_fused_group_smoke(capsys):
+    """Profiler smoke (CPU, tiny): the fused_qkv group builds its own
+    tree, shares one executable across budgets, and emits valid cells."""
+    import json as _json
+
+    from whisperjav_tpu.tools import decode_profile
+
+    rc = decode_profile.main([
+        "--model", "tiny", "--batch", "2", "--iters", "1",
+        "--budgets", "4", "8", "--mid-budget", "6",
+        "--group", "5", "--skip-bf16"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    cells = [_json.loads(ln) for ln in out.splitlines()
+             if ln.startswith("{")]
+    fused = [c for c in cells
+             if str(c.get("variant", "")).startswith("fused_qkv")
+             and "seconds" in c]
+    base = [c for c in cells
+            if str(c.get("variant", "")).startswith("base")
+            and "seconds" in c]
+    assert len(fused) == 2 and len(base) >= 2   # lo+hi cells each

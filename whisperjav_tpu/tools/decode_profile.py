@@ -59,7 +59,7 @@ def _build(model: str, batch: int):
     from whisperjav_tpu.models.whisper.config import WHISPER_SIZES
     from whisperjav_tpu.models.whisper.model import init_params
     from whisperjav_tpu.models.whisper.quant import (
-        quantize_decoder_weights,
+        fuse_qkv_weights, quantize_decoder_weights,
     )
 
     config = WHISPER_SIZES[model]
@@ -71,6 +71,10 @@ def _build(model: str, batch: int):
                                           dtype=jnp.bfloat16)["decoder"]}
     )(jax.random.PRNGKey(0))
     params_q = jax.jit(quantize_decoder_weights)(params)
+    # production tree (engine._prepare fuses q/k/v by default): the
+    # fused_qkv variant measures the per-step kernel-count saving
+    params_qf = jax.jit(
+        lambda t: quantize_decoder_weights(fuse_qkv_weights(t)))(params)
     jax.block_until_ready(params_q)
 
     # encoder output stand-in: decode cost does not depend on xa values
@@ -79,7 +83,7 @@ def _build(model: str, batch: int):
             k, (batch, config.n_audio_ctx, config.n_audio_state),
             jnp.bfloat16)
     )(jax.random.PRNGKey(1))
-    return config, params, params_q, xa
+    return config, params, params_q, params_qf, xa
 
 
 def main(argv=None) -> int:
@@ -127,7 +131,8 @@ def main(argv=None) -> int:
 
     mark("building params (first device contact — a silent hang here "
          "is the tunnel claim wedge)")
-    config, params, params_q, xa = _build(args.model, args.batch)
+    config, params, params_q, params_qf, xa = _build(args.model,
+                                                     args.batch)
     mark("params ready")
     lo, hi = args.budgets
 
@@ -170,6 +175,14 @@ def main(argv=None) -> int:
         # head) that no per-layer stream ablation can see.
         "layers16": dict(_layers=16),
         "layers8": dict(_layers=8),
+        # production weight-prep tree: q/k/v fused into one (d, 3d)
+        # matmul per layer (quant.py:fuse_qkv_weights) — delta vs base
+        # is the per-step kernel-count cost of the separate projections.
+        # (For the scan-unroll A/B, run this tool twice with
+        # WJAV_SCAN_UNROLL=1 vs =4 and compare the base controls —
+        # the unroll global is read at trace time and does not key the
+        # jit cache, so it cannot be an in-process variant.)
+        "fused_qkv": dict(_tree="fused"),
     }
     variants = {n: kw for n, kw in variants.items()
                 if kw.get("_layers", 0) < config.n_text_layer}
@@ -184,6 +197,8 @@ def main(argv=None) -> int:
         t_slice = kw.pop("_slice", None)
         n_layers = kw.pop("_layers", None)
         max_new = kw.pop("_max_new", hi)
+        if kw.pop("_tree", None) == "fused":
+            p = params_qf
         xa_v = xa[:, :t_slice] if t_slice else xa
         cfg = config
         if n_layers:
@@ -255,7 +270,8 @@ def main(argv=None) -> int:
               ["int4_cross_kv", "rules_off"],
               ["ngram3", "no_gumbel", "__mid__"],
               ["layers16", "layers8"],
-              ["cache32"]]
+              ["cache32"],
+              ["fused_qkv"]]
     group_base: Dict[int, float] = {}
     med: Dict[tuple, float] = {}
     slope_early = slope_late = None
