@@ -144,3 +144,37 @@ def test_generate_with_context_prefix(qwen_model):
     assert toks.shape == (2, 10)
     assert np.isfinite(np.asarray(res.avg_logprob)).all()
     assert not np.array_equal(toks, np.asarray(base.tokens))
+
+
+def test_fused_lm_qkv_exact_parity(qwen_model):
+    """fuse_lm_qkv is a pure weight re-layout: generate() tokens are
+    identical (logprobs to float epsilon — XLA may re-block the wider
+    reduction), the op is idempotent, and the column blocks are the
+    original projections (GQA: q is nh*hd wide, k/v are nkv*hd)."""
+    from whisperjav_tpu.models.qwen.model import fuse_lm_qkv
+    fused = fuse_lm_qkv(qwen_model)
+    assert fused is not fuse_lm_qkv(fused) or "wqkv" in fused["blocks"]
+    assert "wq" not in fused["blocks"]
+    qd = CFG.n_heads * CFG.head_dim
+    kvd = CFG.n_kv_heads * CFG.head_dim
+    assert fused["blocks"]["wqkv"].shape[-1] == qd + 2 * kvd
+    np.testing.assert_array_equal(fused["blocks"]["wqkv"][..., :qd],
+                                  qwen_model["blocks"]["wq"])
+    np.testing.assert_array_equal(
+        fused["blocks"]["wqkv"][..., qd + kvd:],
+        qwen_model["blocks"]["wv"])
+
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(0.1 * rng.standard_normal((1, 128, 400)),
+                      jnp.float32)
+    a = generate(qwen_model, CFG, mel, max_new=10, audio_len=40,
+                 repetition_penalty=1.1)
+    b = generate(fused, CFG, mel, max_new=10, audio_len=40,
+                 repetition_penalty=1.1)
+    np.testing.assert_array_equal(np.asarray(a.tokens),
+                                  np.asarray(b.tokens))
+    # XLA may re-block the wider matmul's reduction: same math, float-
+    # epsilon rounding drift allowed on the summed logprob
+    np.testing.assert_allclose(np.asarray(a.avg_logprob),
+                               np.asarray(b.avg_logprob),
+                               rtol=1e-5, atol=1e-5)

@@ -372,12 +372,22 @@ def _lm_block(x, p, cache_k, cache_v, pos, cfg: QwenASRConfig, bias):
     nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     h = rms_norm(x, p["ln1"], cfg.rms_eps)
     positions = pos + jnp.arange(q_len)
-    q = _dense(h, p["wq"]).reshape(b, q_len, nh, hd)
-    k = _dense(h, p["wk"]).reshape(b, q_len, nkv, hd)
+    if "wqkv" in p:
+        # fused projection (fuse_lm_qkv): one matmul per layer per step
+        # instead of three — same math per output column (Qwen3 has
+        # no qkv biases); float-epsilon rounding drift possible
+        qd, kvd = nh * hd, nkv * hd
+        qkv = _dense(h, p["wqkv"])
+        q = qkv[..., :qd].reshape(b, q_len, nh, hd)
+        k = qkv[..., qd:qd + kvd].reshape(b, q_len, nkv, hd)
+        v = qkv[..., qd + kvd:]
+    else:
+        q = _dense(h, p["wq"]).reshape(b, q_len, nh, hd)
+        k = _dense(h, p["wk"]).reshape(b, q_len, nkv, hd)
+        v = _dense(h, p["wv"])
     # Qwen3 per-head q/k RMSNorm, then rotary
     q = rope(rms_norm(q, p["q_norm"], cfg.rms_eps), positions, cfg.rope_theta)
     k = rope(rms_norm(k, p["k_norm"], cfg.rms_eps), positions, cfg.rope_theta)
-    v = _dense(h, p["wv"])
     cache_k = jax.lax.dynamic_update_slice(
         cache_k, k.reshape(b, q_len, nkv * hd).astype(cache_k.dtype),
         (0, pos, 0))
@@ -401,6 +411,29 @@ def _lm_block(x, p, cache_k, cache_v, pos, cfg: QwenASRConfig, bias):
     gate = jax.nn.silu(_dense(h, p["w_gate"]))
     x = x + _dense(gate * _dense(h, p["w_up"]), p["w_down"])
     return x, cache_k, cache_v
+
+
+def fuse_lm_qkv(params: Params) -> Params:
+    """Concatenate the LM blocks' q/k/v projections into one stacked
+    (L, d, q_dim + 2·kv_dim) matmul (``wqkv``).
+
+    Same lever as whisper's quant.py:fuse_qkv_weights: the generate
+    loop's per-layer matmuls are small, so kernel count is a real share
+    of step time. Mathematically identical (each output column's dot product
+    is unchanged; Qwen3 projections carry no biases; rounding may
+    drift at float epsilon if XLA re-blocks the wider reduction). Accepts either a
+    full ASR tree (LM blocks under ``params["blocks"]``) or a bare LM
+    tree; returns the tree unchanged if already fused.
+    """
+    if "wqkv" in params.get("blocks", {}):
+        return params
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    wq, wk, wv = blocks.pop("wq"), blocks.pop("wk"), blocks.pop("wv")
+    blocks["wqkv"] = jnp.concatenate(
+        [jnp.asarray(wq), jnp.asarray(wk), jnp.asarray(wv)], axis=-1)
+    out["blocks"] = blocks
+    return out
 
 
 def lm_step(params: Params, cfg: QwenASRConfig, x_emb: jax.Array,

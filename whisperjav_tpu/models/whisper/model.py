@@ -426,8 +426,9 @@ def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
     if "wqkv" in layer_p:
         # fused q/k/v projection (quant.py:fuse_qkv_weights): one
         # (d, 3d) matmul instead of three kernels per layer per step.
-        # Bitwise identical — each output column's dot product and
-        # bias add are unchanged (k's bias slot is zeros).
+        # Same math per output column (k's bias slot is zeros);
+        # rounding may drift at float epsilon if XLA re-blocks the
+        # wider reduction.
         qkv = dense(h, layer_p["wqkv"], layer_p["bqkv"])
         q_new, k_new, v_new = (qkv[..., :d], qkv[..., d:2 * d],
                                qkv[..., 2 * d:])

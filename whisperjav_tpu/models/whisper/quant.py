@@ -36,10 +36,12 @@ def fuse_qkv_weights(params: Dict[str, Any]) -> Dict[str, Any]:
 
     One kernel per layer per decode step instead of three — the decode
     loop's matmuls are tiny (B×d×d), so launch/bookkeeping overhead is
-    a real share of step time (docs/ADR-002 attribution). Bitwise
+    a real share of step time (docs/ADR-002 attribution). Mathematically
     identical to the separate projections: each output column's dot
     product is over the same K axis, and k's bias slot is zeros (the
-    whisper k projection has no bias). Apply BEFORE
+    whisper k projection has no bias); XLA may re-block the wider
+    reduction, so agreement is exact in tokens and float-epsilon in
+    logits. Apply BEFORE
     :func:`quantize_decoder_weights` — per-output-channel scales make
     quantize(concat) == concat(quantize).
     """

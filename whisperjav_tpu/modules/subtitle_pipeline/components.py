@@ -165,12 +165,18 @@ class QwenGenerator:
             self.cfg, self._params = load_pretrained(self.checkpoint)
             logger.info("qwen generator: loaded %s from %s",
                         self.cfg.name, self.checkpoint)
-            return
-        import jax
-        from whisperjav_tpu.models.qwen.model import init_params
-        logger.warning("qwen generator: random-init %s weights",
-                       self.cfg.name)
-        self._params = init_params(self.cfg, jax.random.PRNGKey(0))
+        else:
+            import jax
+            from whisperjav_tpu.models.qwen.model import init_params
+            logger.warning("qwen generator: random-init %s weights",
+                           self.cfg.name)
+            self._params = init_params(self.cfg, jax.random.PRNGKey(0))
+        import os
+        if os.environ.get("WJAV_FUSE_QKV", "1") != "0":
+            # one fused q/k/v matmul per LM layer per generate step
+            # (bitwise identical — models/qwen/model.py:fuse_lm_qkv)
+            from whisperjav_tpu.models.qwen.model import fuse_lm_qkv
+            self._params = fuse_lm_qkv(self._params)
 
     def unload(self) -> None:
         self._params = None   # API-compat hook; XLA manages HBM

@@ -59,6 +59,10 @@ class TpuLocalBackend:
             logger.info("tpu-local translation: loaded %s (%d layers, "
                         "d=%d)", cfg.name, cfg.n_layers, cfg.d_model)
         self.cfg = cfg
+        import os
+        if os.environ.get("WJAV_FUSE_QKV", "1") != "0":
+            from whisperjav_tpu.models.qwen.model import fuse_lm_qkv
+            params = fuse_lm_qkv(params)
         self.params = params
         if tokenizer is None and checkpoint is not None:
             from whisperjav_tpu.models.qwen.tokenizer import (
