@@ -30,12 +30,17 @@ tile exactly; callers pad audio up (see ``mel_frames_for``).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# LM layer-scan unroll factor (same A/B knob as the whisper decoder,
+# models/whisper/model.py:_SCAN_UNROLL; trace-time static)
+_SCAN_UNROLL = max(1, int(os.environ.get("WJAV_SCAN_UNROLL", "1")))
 
 Params = Dict
 
@@ -451,7 +456,8 @@ def lm_step(params: Params, cfg: QwenASRConfig, x_emb: jax.Array,
         return h, (nk, nv)
 
     x, (nk, nv) = jax.lax.scan(body, x_emb,
-                               (params["blocks"], cache.k, cache.v))
+                               (params["blocks"], cache.k, cache.v),
+                               unroll=_SCAN_UNROLL)
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)
     logits = jnp.dot(x, params["lm_head"].astype(x.dtype),
                      preferred_element_type=jnp.float32)
