@@ -131,3 +131,33 @@ def test_engine_prepare_fuses_by_default(setup, monkeypatch):
     r0 = eng_off.decode_batch(audio)
     np.testing.assert_array_equal(np.asarray(r1.tokens),
                                   np.asarray(r0.tokens))
+
+
+def test_column_cache_exact_parity(setup, monkeypatch):
+    """Column-cache decode (WJAV_COLUMN_CACHE): same logit set — the new
+    key's logit is concatenated instead of written-then-read — so tokens
+    are identical and logprobs agree to float epsilon."""
+    params, xa = setup
+    t0, lp0 = _decode(params, xa)
+    monkeypatch.setattr(wmodel, "_COLUMN_CACHE", True)
+    t1, lp1 = _decode(params, xa)
+    # composed with fusion + unroll
+    monkeypatch.setattr(wmodel, "_SCAN_UNROLL", 2)
+    from whisperjav_tpu.models.whisper.quant import fuse_qkv_weights
+    t2, lp2 = _decode(fuse_qkv_weights(params), xa)
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(t0, t2)
+    np.testing.assert_allclose(lp0, lp1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(lp0, lp2, rtol=1e-5, atol=1e-5)
+
+
+def test_column_cache_int8_kv_parity(setup, monkeypatch):
+    """Column mode composes with the int8 weight tree + int8 cross-KV
+    (the production bench configuration)."""
+    params, xa = setup
+    q = quantize_decoder_weights(params)
+    t0, lp0 = _decode(q, xa, cross_kv_int8=True)
+    monkeypatch.setattr(wmodel, "_COLUMN_CACHE", True)
+    t1, lp1 = _decode(q, xa, cross_kv_int8=True)
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_allclose(lp0, lp1, rtol=1e-5, atol=1e-5)

@@ -44,6 +44,16 @@ _CARRY_CACHE = os.environ.get("WJAV_CARRY_CACHE", "0") == "1"
 # bookkeeping. 1 = plain scan. Read once at import (trace-time static).
 _SCAN_UNROLL = max(1, int(os.environ.get("WJAV_SCAN_UNROLL", "1")))
 
+# opt-in column-cache decode (A/B knob, docs/ADR-002): at q_len == 1 the
+# layer scan emits ONLY each layer's new K/V column as ys; the step body
+# writes all layers' columns with one dynamic_update_slice into the
+# while-carried (L, B, T, d) cache. The default ys path instead stacks
+# each layer's FULL updated slab as scan output — a read+write of the
+# entire self-cache every step. Attention math is unchanged: the new
+# key's logit is computed separately and concatenated (the cached slot
+# at `pos` is masked), so probabilities are identical.
+_COLUMN_CACHE = os.environ.get("WJAV_COLUMN_CACHE", "0") == "1"
+
 Params = Dict[str, Any]
 
 
@@ -409,7 +419,8 @@ def cross_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
 
 def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
                    cache_k, cache_v, pos, n_head, self_bias,
-                   cross_stacked=None, carry_cache=None):
+                   cross_stacked=None, carry_cache=None,
+                   column_mode=False):
     """One decoder block at positions [pos, pos+q). Returns x and new cache.
 
     Caches are stored heads-merged (B, T, d); heads are split transiently
@@ -437,7 +448,31 @@ def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
         q = _split_heads(dense(h, layer_p["wq"], layer_p["bq"]), n_head)
         k_new = dense(h, layer_p["wk"])
         v_new = dense(h, layer_p["wv"], layer_p["bv"])
-    if carry_cache is not None:
+    if column_mode:
+        # read-only cache attention + a separately-computed logit for
+        # the new key (its cache slot is masked by self_bias: j < pos).
+        # Mathematically identical to insert-then-attend — same logit
+        # set, same softmax — without rewriting the cache slab here.
+        hd = d // n_head
+        scale = hd ** -0.25
+        kc = _split_heads(cache_k.astype(q.dtype), n_head)
+        vc = _split_heads(cache_v.astype(q.dtype), n_head)
+        kn = _split_heads(k_new, n_head)          # (B, 1, H, hd)
+        vn = _split_heads(v_new, n_head)
+        logits_c = jnp.einsum("bqhd,bkhd->bhqk", q * scale, kc * scale,
+                              preferred_element_type=jnp.float32)
+        logits_c = logits_c + self_bias           # mask j >= pos
+        logit_n = jnp.einsum("bqhd,bqhd->bhq", q * scale, kn * scale,
+                             preferred_element_type=jnp.float32)[..., None]
+        logits = jnp.concatenate([logits_c, logit_n], axis=-1)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        w_c = w[..., :-1].astype(q.dtype)
+        w_n = w[..., -1:].astype(q.dtype)         # (B, H, 1, 1)
+        a = jnp.einsum("bhqk,bkhd->bqhd", w_c, vc,
+                       preferred_element_type=jnp.float32).astype(q.dtype)
+        a = a + jnp.swapaxes(w_n, 1, 2) * vn      # (B,1,H,1)·(B,1,H,hd)
+        x = x + dense(a.reshape(b, q_len, d), layer_p["wo"], layer_p["bo"])
+    elif carry_cache is not None:
         ck_full, cv_full, l_idx = carry_cache
         ck_full = jax.lax.dynamic_update_slice(
             ck_full, k_new[None].astype(ck_full.dtype), (l_idx, 0, pos, 0))
@@ -452,10 +487,11 @@ def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
             cache_k, k_new.astype(cache_k.dtype), (0, pos, 0))
         cache_v = jax.lax.dynamic_update_slice(
             cache_v, v_new.astype(cache_v.dtype), (0, pos, 0))
-    t_max = cache_k.shape[1]
-    a = attention(q, _split_heads(cache_k.astype(q.dtype), n_head),
-                  _split_heads(cache_v.astype(q.dtype), n_head), self_bias)
-    x = x + dense(a.reshape(b, q_len, d), layer_p["wo"], layer_p["bo"])
+    if not column_mode:
+        a = attention(q, _split_heads(cache_k.astype(q.dtype), n_head),
+                      _split_heads(cache_v.astype(q.dtype), n_head),
+                      self_bias)
+        x = x + dense(a.reshape(b, q_len, d), layer_p["wo"], layer_p["bo"])
     # --- cross-attention (K/V pre-laid-out as (B, H, hd, T)) ---
     h = layer_norm(x, layer_p["lnx_s"], layer_p["lnx_b"])
     cq = _split_heads(dense(h, layer_p["cwq"], layer_p["cbq"]), n_head)
@@ -482,6 +518,8 @@ def _decoder_block(x, layer_p, cross_k, cross_v, ck_scale, cv_scale,
     x = x + dense(jax.nn.gelu(dense(h, layer_p["w1"], layer_p["b1"]),
                               approximate=False),
                   layer_p["w2"], layer_p["b2"])
+    if column_mode:
+        return x, k_new, v_new                    # (B, 1, d) columns
     if carry_cache is not None:
         return x, ck_full, cv_full
     return x, cache_k, cache_v
@@ -536,6 +574,29 @@ def decode_hidden(
             body, x, (dec["blocks"], jnp.arange(n_layers),
                       cross.k_scale, cross.v_scale, cache.k, cache.v),
             unroll=_SCAN_UNROLL)
+    elif _COLUMN_CACHE and q_len == 1:
+        # column mode: scan ys are only the new K/V columns; ONE stacked
+        # dynamic_update_slice writes every layer's column into the
+        # while-carried cache. Replaces the default path's full-cache
+        # restack (read+write of the whole self-cache per step) with a
+        # (L, B, 1, d) write.
+        col_bias = jnp.where(k_idx[:1] < pos, 0.0, -jnp.inf)[None, None]
+
+        def body(h, xs):
+            layer_p, ck, cv, cks, cvs, sk, sv = xs
+            h, kc, vc = _decoder_block(h, layer_p, ck, cv, cks, cvs,
+                                       sk, sv, pos, config.n_text_head,
+                                       col_bias, column_mode=True)
+            return h, (kc, vc)
+
+        x, (k_cols, v_cols) = jax.lax.scan(
+            body, x, (dec["blocks"], cross.k, cross.v, cross.k_scale,
+                      cross.v_scale, cache.k, cache.v),
+            unroll=_SCAN_UNROLL)
+        new_k = jax.lax.dynamic_update_slice(
+            cache.k, k_cols.astype(cache.k.dtype), (0, 0, pos, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            cache.v, v_cols.astype(cache.v.dtype), (0, 0, pos, 0))
     elif _CARRY_CACHE:
         # self-KV cache rides the scan CARRY (in-place aliased) instead
         # of xs/ys — the ys path stacks a full cache copy as scan output
