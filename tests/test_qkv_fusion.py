@@ -138,6 +138,7 @@ def test_column_cache_exact_parity(setup, monkeypatch):
     key's logit is concatenated instead of written-then-read — so tokens
     are identical and logprobs agree to float epsilon."""
     params, xa = setup
+    monkeypatch.setattr(wmodel, "_COLUMN_CACHE", False)
     t0, lp0 = _decode(params, xa)
     monkeypatch.setattr(wmodel, "_COLUMN_CACHE", True)
     t1, lp1 = _decode(params, xa)
@@ -156,6 +157,7 @@ def test_column_cache_int8_kv_parity(setup, monkeypatch):
     (the production bench configuration)."""
     params, xa = setup
     q = quantize_decoder_weights(params)
+    monkeypatch.setattr(wmodel, "_COLUMN_CACHE", False)
     t0, lp0 = _decode(q, xa, cross_kv_int8=True)
     monkeypatch.setattr(wmodel, "_COLUMN_CACHE", True)
     t1, lp1 = _decode(q, xa, cross_kv_int8=True)

@@ -44,15 +44,17 @@ _CARRY_CACHE = os.environ.get("WJAV_CARRY_CACHE", "0") == "1"
 # bookkeeping. 1 = plain scan. Read once at import (trace-time static).
 _SCAN_UNROLL = max(1, int(os.environ.get("WJAV_SCAN_UNROLL", "1")))
 
-# opt-in column-cache decode (A/B knob, docs/ADR-002): at q_len == 1 the
-# layer scan emits ONLY each layer's new K/V column as ys; the step body
-# writes all layers' columns with one dynamic_update_slice into the
-# while-carried (L, B, T, d) cache. The default ys path instead stacks
-# each layer's FULL updated slab as scan output — a read+write of the
-# entire self-cache every step. Attention math is unchanged: the new
-# key's logit is computed separately and concatenated (the cached slot
-# at `pos` is masked), so probabilities are identical.
-_COLUMN_CACHE = os.environ.get("WJAV_COLUMN_CACHE", "0") == "1"
+# column-cache decode (default ON since the round-3 A/B: 302.0x vs
+# 248.4x same-condition large-v2/B=64 — docs/ADR-002; WJAV_COLUMN_CACHE=0
+# restores the restack path for A/B): at q_len == 1 the layer scan emits
+# ONLY each layer's new K/V column as ys; the step body writes all
+# layers' columns with one dynamic_update_slice into the while-carried
+# (L, B, T, d) cache. The legacy ys path instead stacks each layer's
+# FULL updated slab as scan output — a read+write of the entire
+# self-cache every step. Attention math is unchanged: the new key's
+# logit is computed separately and concatenated (the cached slot at
+# `pos` is masked), so probabilities are identical.
+_COLUMN_CACHE = os.environ.get("WJAV_COLUMN_CACHE", "1") != "0"
 
 Params = Dict[str, Any]
 
