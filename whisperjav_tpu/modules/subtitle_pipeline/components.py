@@ -212,6 +212,30 @@ class QwenGenerator:
             budget = min(budget, self.max_tokens)
         ctx = (jnp.asarray(self._ctx_ids)
                if self._ctx_ids is not None else None)
+
+        # generate-ahead pipelining (same bubble class as the whisper
+        # engine's encode-ahead, ADR-002 §Round-3: the per-batch
+        # dispatch→drain host round-trip cost ~2x end-to-end on
+        # tunneled hosts): batch i+1's generate is DISPATCHED before
+        # batch i's tokens are drained — JAX dispatch is async, so the
+        # chip rolls straight into the next batch while the host blocks
+        # on the transfer and detokenizes. WJAV_GENERATE_AHEAD=0
+        # restores serial drains (A/B knob; also the fallback if two
+        # resident LM caches ever OOM a config).
+        import os
+        ahead_on = os.environ.get("WJAV_GENERATE_AHEAD", "1") != "0"
+
+        def _drain(start: int, n: int, res) -> None:
+            toks = np.asarray(res.tokens)
+            lens = np.asarray(res.length)
+            lps = np.asarray(res.avg_logprob)
+            for r in range(n):
+                out.append(TranscriptionResult(
+                    frame_index=start + r,
+                    text=self._decode_text(toks[r], int(lens[r])),
+                    avg_logprob=float(lps[r])))
+
+        pending: Optional[Tuple[int, int, object]] = None
         for i in range(0, len(clips), self.batch_size):
             chunk = clips[i:i + self.batch_size]
             buf = np.zeros((self.batch_size, max_len), np.float32)
@@ -223,14 +247,15 @@ class QwenGenerator:
                            audio_len=self.cfg.audio_tokens_for(mel.shape[-1]),
                            repetition_penalty=self.repetition_penalty,
                            ctx_ids=ctx)
-            toks = np.asarray(res.tokens)
-            lens = np.asarray(res.length)
-            lps = np.asarray(res.avg_logprob)
-            for r in range(len(chunk)):
-                out.append(TranscriptionResult(
-                    frame_index=i + r,
-                    text=self._decode_text(toks[r], int(lens[r])),
-                    avg_logprob=float(lps[r])))
+            if pending is not None:
+                _drain(*pending)
+                pending = None
+            if ahead_on:
+                pending = (i, len(chunk), res)
+            else:
+                _drain(i, len(chunk), res)
+        if pending is not None:
+            _drain(*pending)
         return out
 
 
