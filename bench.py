@@ -48,9 +48,20 @@ import time
 
 BASELINE_RTF = 15.0          # CUDA faster-whisper large-v2 on RTX 4090
 MODEL = os.environ.get("WJAV_BENCH_MODEL", "large-v2")
+# WJAV_BENCH_PRESET=balanced: measure the decode config users actually
+# get (beam 2-3 + no-repeat-ngram 3 + repetition penalty + the
+# temperature-fallback ladder + quality gates) over a realistic
+# window-duration mix spanning the 448/960/1500 cross-KV buckets,
+# through the production transcribe loop (encode-ahead + double
+# buffering). "" (default) = the greedy fixed-30s headline config.
+# WJAV_BENCH_PRESET_GREEDY=1 keeps the preset's mix/ngram/ladder but
+# forces beam 1 / best_of 1 — the same-day control isolating beam cost.
+PRESET = os.environ.get("WJAV_BENCH_PRESET", "")
+PRESET_GREEDY = os.environ.get("WJAV_BENCH_PRESET_GREEDY", "0") == "1"
 # 64 measured as the single-chip HBM sweet spot for large-v2 with int8
-# cross-KV (207x vs ~175x at 48; 80 and 96 OOM on v5e-class chips)
-BATCH = int(os.environ.get("WJAV_BENCH_BATCH", "64"))
+# cross-KV (207x vs ~175x at 48; 80 and 96 OOM on v5e-class chips).
+# 0 = auto: 64 effective decode rows (batch x beam) per chip.
+BATCH = int(os.environ.get("WJAV_BENCH_BATCH", "0"))
 DECODE_TOKENS = 128          # representative tokens per 30 s JA window
 TIMED_BATCHES = int(os.environ.get("WJAV_BENCH_ITERS", "8"))
 MIN_TIMED_BATCHES = 2
@@ -135,7 +146,7 @@ _T_START = time.time()
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 # mutated by the timed loop, read by the watchdog/SIGTERM emitters
-_STATE = {"iters": 0, "loop_elapsed": 0.0}
+_STATE = {"iters": 0, "loop_elapsed": 0.0, "audio_s": 0.0}
 
 
 def _progress(msg: str) -> None:
@@ -155,9 +166,12 @@ def _emit(note=""):
         if iters < 1 or wall <= 0:
             _progress(f"no completed timed iteration to report ({note})")
             return False
-        rtf = (iters * BATCH * 30.0) / wall
+        rtf = _STATE["audio_s"] / wall
+        tag = MODEL.replace("-", "_")
+        if PRESET:
+            tag += f"_{PRESET}" + ("_greedyctl" if PRESET_GREEDY else "")
         print(json.dumps({
-            "metric": f"whisper_{MODEL.replace('-', '_')}_rtf_per_chip",
+            "metric": f"whisper_{tag}_rtf_per_chip",
             "value": round(rtf, 2),
             "unit": "x_realtime",
             "vs_baseline": round(rtf / BASELINE_RTF, 3),
@@ -243,19 +257,48 @@ def child():
     jax.block_until_ready(params)
     _progress("params initialized")
     kv_bits = int(os.environ.get("WJAV_BENCH_KV_BITS", "8"))
-    options = DecodeOptions(
-        max_new_tokens=DECODE_TOKENS,
-        cross_kv_int8=kv_bits == 8,
-        cross_kv_int4=kv_bits == 4,
-        # production presets run the n-gram ban (factory.py); measure
-        # its cost with WJAV_BENCH_NGRAM=3
-        no_repeat_ngram_size=int(os.environ.get("WJAV_BENCH_NGRAM", "0")))
+    if PRESET:
+        # the decode config the shipped presets actually run
+        # (config/presets.py carries the reference's values —
+        # faster_whisper.py:236-356): beam + patience + best_of +
+        # ngram-3 + repetition penalty + quality gates + ladder
+        from whisperjav_tpu.config.presets import SENSITIVITY_PRESETS
+        sens = SENSITIVITY_PRESETS[PRESET]
+        beam = 1 if PRESET_GREEDY else sens.beam_size
+        options = DecodeOptions(
+            max_new_tokens=224,
+            repetition_penalty=sens.repetition_penalty,
+            no_repeat_ngram_size=sens.no_repeat_ngram_size,
+            beam_size=beam, patience=sens.patience,
+            best_of=1 if PRESET_GREEDY else sens.best_of,
+            cross_kv_int8=kv_bits == 8, cross_kv_int4=kv_bits == 4)
+        thresholds = QualityThresholds(
+            logprob_threshold=sens.logprob_threshold,
+            no_speech_threshold=sens.no_speech_threshold,
+            compression_ratio_threshold=sens.compression_ratio_threshold,
+            # factory.py extends the preset ladder the same way
+            temperatures=sens.temperatures + tuple(
+                t for t in (0.4, 0.6, 0.8, 1.0)
+                if t > max(sens.temperatures)))
+        batch = BATCH or max(8, 64 // beam)   # 64 effective rows per chip
+    else:
+        options = DecodeOptions(
+            max_new_tokens=DECODE_TOKENS,
+            cross_kv_int8=kv_bits == 8,
+            cross_kv_int4=kv_bits == 4,
+            # production presets run the n-gram ban (factory.py); measure
+            # its cost with WJAV_BENCH_NGRAM=3
+            no_repeat_ngram_size=int(os.environ.get("WJAV_BENCH_NGRAM",
+                                                    "0")))
+        thresholds = QualityThresholds(temperatures=(0.0,))
+        batch = BATCH or 64
     engine = TranscriptionEngine(
-        config, params, options=options,
-        thresholds=QualityThresholds(temperatures=(0.0,)),
-        batch_size=BATCH, int8_weights=True,
+        config, params, options=options, thresholds=thresholds,
+        batch_size=batch, int8_weights=True,
     )
-    _progress("engine built")
+    _progress(f"engine built (batch={batch}, beam={options.beam_size})")
+    if PRESET:
+        return _preset_loop(engine, batch, budget)
 
     rng = np.random.default_rng(0)
     t = np.arange(N_SAMPLES) / 16000.0
@@ -263,7 +306,7 @@ def child():
             * (1 + 0.5 * np.sin(2 * np.pi * 4 * t)))
     audio = np.stack([
         (base + 0.05 * rng.standard_normal(N_SAMPLES)).astype(np.float32)
-        for _ in range(BATCH)])
+        for _ in range(batch)])
 
     # compile + warmup (materialized: block_until_ready does NOT reliably
     # block through the axon tunnel — CLAUDE.md timing rule)
@@ -296,11 +339,91 @@ def child():
             np.asarray(res.tokens)
         dev = nxt
         _STATE["iters"] = i + 1
+        _STATE["audio_s"] += batch * 30.0
         _STATE["loop_elapsed"] = time.time() - t0
         _progress(f"iter {i + 1}/{TIMED_BATCHES}")
         if (time.time() > loop_deadline
                 and _STATE["iters"] >= MIN_TIMED_BATCHES):
             _progress(f"time-boxed after {i + 1}/{TIMED_BATCHES} iters")
+            break
+    _emit()
+
+
+def _preset_loop(engine, batch: int, budget: float):
+    """Production-preset measurement: the transcribe_windows pipelining
+    loop (encode-ahead + double-buffered uploads), run batch-by-batch so
+    the watchdog can emit completed work, over a seeded realistic
+    window-duration mix spanning the 448/960/1500 cross-KV buckets
+    (~40% packed-long / 30% medium / 30% short — what pack_windows
+    produces from the 5-7 s JA-subtitle VAD presets)."""
+    import time as _time
+
+    import numpy as np
+
+    from whisperjav_tpu.ops.mel import N_SAMPLES
+    from whisperjav_tpu.parallel.batching import Window, batch_windows
+
+    rng = np.random.default_rng(0)
+    durations = []
+    for i in range(TIMED_BATCHES * batch):
+        u = rng.random()
+        if u < 0.4:
+            durations.append(rng.uniform(24.0, 29.0))   # packed long
+        elif u < 0.7:
+            durations.append(rng.uniform(10.0, 18.0))   # medium
+        else:
+            durations.append(rng.uniform(4.0, 9.0))     # short
+    t = np.arange(N_SAMPLES) / 16000.0
+    base = (0.3 * np.sin(2 * np.pi * 180 * t)
+            * (1 + 0.5 * np.sin(2 * np.pi * 4 * t)))
+
+    def make_window(i, dur):
+        n = int(dur * 16000)
+        a = (base[:n] + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        return Window(audio=a, abs_start=0.0, duration=dur,
+                      scene_idx=i, group_idx=0)
+
+    windows = [make_window(i, d) for i, d in enumerate(durations)]
+
+    # warmup: one tiny batch per bucket pays every decode-executable
+    # compile (greedy rungs reuse one program; beam compiles its own)
+    warm = [make_window(10_000 + j, d) for j, d in enumerate(
+        [8.0] * batch + [18.0] * batch + [29.0] * batch)]
+    for wb in batch_windows(warm, batch):
+        engine.transcribe_batch(wb)
+        _progress(f"warmup bucket (max {max(w.duration for w in wb.windows):.0f}s) done")
+
+    loop_deadline = _T_START + budget - 2 * WATCHDOG_MARGIN_S
+    ahead = os.environ.get("WJAV_ENCODE_AHEAD", "1") != "0"
+    batches = list(batch_windows(windows, batch))
+    dev = engine.upload_audio(batches[0].audio)
+    xa = None
+    t0 = _time.time()
+    for bi, wb in enumerate(batches):
+        nxt = (engine.upload_audio(batches[bi + 1].audio)
+               if bi + 1 < len(batches) else None)
+        holder = {}
+
+        def _encode_ahead(nxt=nxt, bi=bi, holder=holder):
+            if nxt is not None:
+                nb = batches[bi + 1]
+                holder["xa"] = engine.encode_batch(
+                    device_audio=nxt,
+                    max_duration=max(w.duration for w in nb.windows))
+
+        engine.transcribe_batch(
+            wb, seed=bi * 131, device_audio=dev, device_xa=xa,
+            on_decode_dispatched=_encode_ahead if ahead else None)
+        dev = nxt
+        xa = holder.get("xa")
+        _STATE["iters"] = bi + 1
+        _STATE["audio_s"] += sum(w.duration for w in wb.windows)
+        _STATE["loop_elapsed"] = _time.time() - t0
+        _progress(f"batch {bi + 1}/{len(batches)} "
+                  f"({_STATE['audio_s']:.0f}s audio)")
+        if (_time.time() > loop_deadline
+                and _STATE["iters"] >= MIN_TIMED_BATCHES):
+            _progress(f"time-boxed after {bi + 1}/{len(batches)} batches")
             break
     _emit()
 

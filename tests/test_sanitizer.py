@@ -14,18 +14,22 @@ class TestRepetitionCleaner:
         self.rc = RepetitionCleaner()
 
     def test_char_run_collapse(self):
+        # reference: single_char_whitespace_flood collapses floods to a
+        # doubled echo (repetition_cleaner.py:63)
         out, stats = self.rc.clean("あああああああ")
-        assert out == "あぁ"
-        assert stats.char_runs == 1
+        assert out == "ああ"
+        assert stats.curated >= 1
 
     def test_phrase_loop_collapse(self):
+        # multi_char_word: (だめ) x5 → doubled unit (reference :57)
         out, stats = self.rc.clean("だめだめだめだめだめ")
-        assert stats.phrase_loops >= 1
-        assert len(out) < 10
+        assert out == "だめだめ"
+        assert stats.by_type.get("multi_char_word") == 1
 
-    def test_protected_laughter_kept(self):
+    def test_laughter_collapses_to_echo(self):
+        # prefix_plus_char: うふふふふ → うふふ (reference :67)
         out, _ = self.rc.clean("うふふふふ")
-        assert "うふふ" in out or out == "うふふふふ"
+        assert out == "うふふ"
 
     def test_normal_text_unchanged(self):
         text = "今日はいい天気ですね"
@@ -33,9 +37,38 @@ class TestRepetitionCleaner:
         assert out == text
         assert stats.total == 0
 
-    def test_punct_run(self):
+    def test_punct_run_is_not_repetition_business(self):
+        # punctuation-only runs are the hallucination regex DB's job
+        # (regexp_v09 full-line categories) / the symbol-residue purge —
+        # the repetition layer leaves them alone (reference parity)
         out, stats = self.rc.clean("そうか。。。。。")
-        assert stats.punct_runs == 1
+        assert out == "そうか。。。。。"
+        assert stats.total == 0
+
+    def test_generic_dominance_safety_net(self):
+        text = "お腹すいた" * 9            # 45 chars, no curated match
+        out, stats = self.rc.clean(text)
+        assert out == "お腹すいたお腹すいた"
+        assert stats.generic == 1
+
+    def test_generic_collapses_long_loops_before_truncation(self):
+        # a dominant unit repeated past 200 chars is the GENERIC layer's
+        # business (coverage 100% ≥ 50%), never reaching layer 3
+        text = "これは長い文章で、まだ続きます。" * 16
+        out, stats = self.rc.clean(text)
+        assert out == "これは長い文章で、まだ続きます。"
+        assert stats.generic == 1 and stats.truncated == 0
+
+    def test_length_limit_truncation(self):
+        # >200 chars of NON-repeating content (no unit covers 50%) hits
+        # the layer-3 limit and breaks at the last 。 above the 75% floor
+        uniq = [chr(c) for c in range(0x4E00, 0x4E00 + 240)]
+        text = "".join(ch + ("。" if i % 30 == 29 else "")
+                       for i, ch in enumerate(uniq))
+        assert len(text) > 200
+        out, stats = self.rc.clean(text)
+        assert stats.truncated == 1
+        assert 150 <= len(out) <= 200   # broke at 。 above the 75% floor
 
     def test_never_wipes_line(self):
         out, _ = self.rc.clean("ああああああああああ")

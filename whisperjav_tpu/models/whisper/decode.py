@@ -561,8 +561,17 @@ def _beam_loop(params: Params, config: WhisperConfig, options: DecodeOptions,
 
         gidx = (jnp.arange(b)[:, None] * k + live_src).reshape(bk)
         tokens = jnp.take(s.tokens, gidx, axis=0)
-        cache_ = KVCache(jnp.take(s.cache.k, gidx, axis=1),
-                         jnp.take(s.cache.v, gidx, axis=1))
+        # self-cache reorder is the beam loop's biggest per-step HBM cost
+        # (full read+write of (2, L, B·k, T, d)); when the selection is the
+        # identity permutation — beams kept their own slots, a common
+        # steady state — lax.cond skips it at runtime entirely
+        ident = jnp.all(live_src == jnp.arange(k)[None, :])
+        cache_ = jax.lax.cond(
+            ident,
+            lambda c: c,
+            lambda c: KVCache(jnp.take(c.k, gidx, axis=1),
+                              jnp.take(c.v, gidx, axis=1)),
+            s.cache)
         length = jnp.take(s.length, gidx) + 1
         last_was_ts = jnp.take(s.last_was_ts, gidx)
         max_ts = jnp.take(s.max_ts, gidx)
@@ -645,7 +654,14 @@ def decode_beam(
     sot_pos = prompt_len - (3 if options.with_timestamps else 4)
     total_len = prompt_len + options.max_new_tokens
 
-    xa_k = jnp.repeat(xa, k, axis=0)                       # (B*k, T, d)
+    # All k beams of a row attend the SAME audio, so cross-KV is computed
+    # ONCE per row (not per beam) and the beams fold into the query-time
+    # axis inside cross_attention (model.py) — 1/k the dominant decode
+    # HBM stream and 1/k the cross-KV residency vs the naive repeat.
+    # WJAV_BEAM_SHARED_CROSS=0 restores the repeat layout for A/B.
+    import os
+    shared = os.environ.get("WJAV_BEAM_SHARED_CROSS", "1") != "0"
+    xa_k = xa if shared else jnp.repeat(xa, k, axis=0)
     cross = precompute_cross_kv(params, config, xa_k,
                                 int8=options.cross_kv_int8,
                                 int4=options.cross_kv_int4)

@@ -401,7 +401,26 @@ def cross_attention(q: jax.Array, ck: jax.Array, cv: jax.Array,
 
     K/V may be int8 with per-(batch,head) scales (B, H, 1, 1), or
     nibble-packed int4 in uint8 storage (T axis halved; attended via
-    the fusion-preserving even/odd split, see _packed_cross_attention)."""
+    the fusion-preserving even/odd split, see _packed_cross_attention).
+
+    Beam folding: when q has g× more batch rows than K/V (beam search —
+    all k beams of a row attend the SAME audio), the g beams fold into
+    the query-time axis (cross-attention has no causal mask, so each
+    query position is independent): q (B·g, Tq) → (B, g·Tq). This lets
+    decode_beam keep ONE cross-KV copy per row instead of per beam —
+    the cross stream is the dominant decode HBM read, so beam-k decoding
+    streams 1/k of the bytes the naive repeat layout would."""
+    if q.shape[0] != ck.shape[0]:
+        g, rem = divmod(q.shape[0], ck.shape[0])
+        if rem:
+            raise ValueError(
+                f"query batch {q.shape[0]} not a multiple of "
+                f"cross-KV batch {ck.shape[0]}")
+        tq = q.shape[1]
+        folded = cross_attention(
+            q.reshape(ck.shape[0], g * tq, *q.shape[2:]),
+            ck, cv, k_scale, v_scale)
+        return folded.reshape(q.shape[0], tq, *folded.shape[2:])
     if ck.dtype == jnp.uint8:
         return _packed_cross_attention(q, ck, cv, k_scale, v_scale)
     hd = q.shape[-1]
@@ -557,7 +576,11 @@ def decode_hidden(
     self_bias = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)[None, None]
 
     use_pallas = (_PALLAS_DECODE and q_len == 1
-                  and cross.k.dtype == jnp.int8)
+                  and cross.k.dtype == jnp.int8
+                  # the pallas kernel has no beam-folding path: it needs
+                  # query rows == cross-KV rows (decode_beam shares one
+                  # cross-KV copy across k beams — see cross_attention)
+                  and cross.k.shape[1] == b)
     if use_pallas:
         # K/V stay loop-invariant (closed over); only the layer index
         # is scanned, so the pallas kernel's BlockSpec selects the layer

@@ -405,7 +405,12 @@ class HallucinationRemover:
             stats.exact_removed += 1
             return ""
 
-        current = stripped
+        # regex substitutions run on the RAW line (edge whitespace intact):
+        # the downstream repetition patterns treat trailing separators as
+        # part of the repeated unit (e.g. "はい はい はい はい はい "), and
+        # the reference never strips between stages — the chain strips once
+        # at the very end (subtitle_sanitizer.py:541)
+        current = text
         for info in self._patterns:
             if not info["re"].search(current):
                 continue
@@ -416,11 +421,11 @@ class HallucinationRemover:
                                                info["replacement"], current)
             if new != current:
                 stats.regex_removed += 1
-                current = new.strip()
-                if not current:
+                current = new
+                if not current.strip():
                     return ""
 
-        if (len(current) >= 3 and self._fuzzy_phrases
+        if (len(current.strip()) >= 3 and self._fuzzy_phrases
                 and not looks_like_valid_japanese(current)):
             norm = current.strip().lower()
             for phrase in self._fuzzy_phrases:
@@ -438,8 +443,12 @@ class HallucinationRemover:
         if not text:
             return text, stats
         kept = [out for ln in text.split("\n")
-                if (out := self._check_line(ln, stats)) ]
-        result = "\n".join(kept).strip()
-        if text.strip() and not result:
+                if (out := self._check_line(ln, stats)).strip()]
+        # do NOT strip here: trailing separators feed the repetition
+        # cleaner's unit patterns; the sanitizer chain strips once at the
+        # end (reference: subtitle_sanitizer.py:541)
+        result = "\n".join(kept)
+        if text.strip() and not result.strip():
             stats.lines_emptied += 1
+            result = ""
         return result, stats

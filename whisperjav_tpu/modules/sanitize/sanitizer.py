@@ -161,13 +161,9 @@ class SubtitleSanitizer:
                                          "start": s.start, "end": s.end,
                                          "text": s.text})
                 continue
-            if self.repetitions.is_mostly_repetition(
-                    text, self.config.repetition_density):
-                report.hallucinations_removed += 1
-                report.artifacts.append({"reason": "repetition_noise",
-                                         "start": s.start, "end": s.end,
-                                         "text": s.text})
-                continue
+            # all-repetition lines are CLEANED, not dropped (reference:
+            # subtitle_sanitizer.py:541 — clean_repetitions collapses
+            # loops to a short echo; the line survives as content)
             text, r_stats = self.repetitions.clean(text)
             if r_stats.total:
                 report.repetitions_cleaned += 1
