@@ -97,7 +97,9 @@ class TranscribePipeline:
                              "windows": len(windows), "scenes": 0,
                              "groups": len(windows), "failovers": 0,
                              "groups_packed": len(windows)}
+        t0 = time.time()
         scene_result = self.scene_detector.detect(audio, sample_rate)
+        stage_s = {"scene": time.time() - t0, "enhance": 0.0, "vad": 0.0}
         segmenter = create_segmenter(self.vad_backend, **self.vad_kwargs)
         windows: List[Window] = []
         vad_stats = {"scenes": len(scene_result.scenes), "groups": 0,
@@ -110,8 +112,10 @@ class TranscribePipeline:
             vad_audio = scene_audio
             if self.enhancer is not None:
                 from whisperjav_tpu.modules.enhancement import enhance_scenes
+                t0 = time.time()
                 res = enhance_scenes(self.enhancer, [scene_audio],
                                      sample_rate)[0]
+                stage_s["enhance"] += time.time() - t0
                 if res.success and self.enhance_for_vad:
                     # dual-track (reference: --enhance-for-vad,
                     # main.py:1056-1057 + orchestrator vad_audio_paths):
@@ -131,7 +135,9 @@ class TranscribePipeline:
                     scene_audio = audio[a:b]
                     vad_audio = scene_audio
                     enhanced_ok += 1
+            t0 = time.time()
             seg = segmenter.segment(vad_audio, sample_rate)
+            stage_s["vad"] += time.time() - t0
             if vad_failover_check(seg):
                 # implausibly low coverage → full-clip transcription
                 # (reference: modules/vad_failover.py)
@@ -151,7 +157,8 @@ class TranscribePipeline:
                  "scene_stats": scene_result.stats, **vad_stats,
                  "enhanced_scenes": enhanced_ok,
                  "groups_packed": raw_windows,
-                 "windows": len(windows)}
+                 "windows": len(windows),
+                 "stage_s": {k: round(v, 3) for k, v in stage_s.items()}}
         return windows, stats
 
     # ------------------------------------------------------------------
@@ -223,12 +230,15 @@ class TranscribePipeline:
                 seed: int = 0) -> PipelineResult:
         """Full file pipeline, reference-compatible output naming
         ``{basename}.{lang}.whisperjav.srt``."""
+        wall_t0 = time.time()
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         logger.info("processing %s", media.path.name)
 
         extractor = AudioExtractor(WHISPER_SAMPLE_RATE)
+        t_extract = time.time()
         audio, duration = extractor.extract(media.path)
+        t_extract = time.time() - t_extract
         if self.tracer:
             self.tracer.event("file_start", {"file": str(media.path),
                                              "duration": duration})
@@ -244,9 +254,20 @@ class TranscribePipeline:
             save_srt(raw_path, subtitles)
 
         sanitize_stats = {}
+        t_sanitize = time.time()
         if self.postprocessor is not None:
             subtitles, sanitize_stats = self.postprocessor.process(
                 subtitles, language=self.language)
+        t_sanitize = time.time() - t_sanitize
+        # per-stage wall breakdown for end-to-end RTF attribution
+        # (reference baseline is whole-pipeline per-file: README.md:561-566)
+        stage = stats.setdefault("stage_s", {})
+        stage["extract"] = round(t_extract, 3)
+        stage["sanitize"] = round(t_sanitize, 3)
+        stage["asr"] = stats.get("asr_s", 0.0)
+        wall = time.time() - wall_t0
+        stats["e2e_wall_s"] = round(wall, 3)
+        stats["e2e_rtf_x"] = round(duration / max(wall, 1e-9), 2)
         artifacts = sanitize_stats.pop("artifacts", []) \
             if isinstance(sanitize_stats, dict) else []
         stats["final_subtitles"] = len(subtitles)
