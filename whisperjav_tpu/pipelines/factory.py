@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Optional
 
@@ -122,12 +123,20 @@ def build_pipeline(
         best_of=sens.best_of,
         cross_kv_int8=True,   # production default: halves decode HBM traffic
     )
+    # WJAV_LADDER_RUNGS=N clamps the temperature-fallback ladder to its
+    # first N rungs (0/unset = full ladder). Measurement knob: random
+    # weights fail every quality gate, saturating the ladder — real
+    # weights pass at rung 1 for ~all windows (see bench.py PRESET docs).
+    ladder = sens.temperatures + tuple(
+        t for t in (0.4, 0.6, 0.8, 1.0) if t > max(sens.temperatures))
+    _rungs = int(os.environ.get("WJAV_LADDER_RUNGS", "0"))
+    if _rungs > 0:
+        ladder = ladder[:_rungs]
     thresholds = QualityThresholds(
         logprob_threshold=sens.logprob_threshold,
         no_speech_threshold=sens.no_speech_threshold,
         compression_ratio_threshold=sens.compression_ratio_threshold,
-        temperatures=sens.temperatures + tuple(
-            t for t in (0.4, 0.6, 0.8, 1.0) if t > max(sens.temperatures)),
+        temperatures=ladder,
     )
     # HBM guard: cross-KV scales with batch x beams; large-v2-class models
     # fit ~64 effective rows PER CHIP with int8 cross-KV (measured: 64
