@@ -65,6 +65,12 @@ BATCH = int(os.environ.get("WJAV_BENCH_BATCH", "0"))
 DECODE_TOKENS = 128          # representative tokens per 30 s JA window
 TIMED_BATCHES = int(os.environ.get("WJAV_BENCH_ITERS", "8"))
 MIN_TIMED_BATCHES = 2
+# untimed pipelined iterations before the timed loop: the first 1-3
+# pipelined batches pay one-off costs (device buffer allocation for the
+# double-buffered uploads, tunnel stream ramp) that a long file
+# amortizes over hundreds of batches — measured: turbo B=96 iter1 5.1s
+# vs steady 2.3s. 0 restores the round-3 methodology.
+WARM_ITERS = int(os.environ.get("WJAV_BENCH_WARM_ITERS", "2"))
 # whole-process wall budget; keep under any plausible driver timeout
 BUDGET_S = float(os.environ.get("WJAV_BENCH_BUDGET_S", "480"))
 STALL_S = float(os.environ.get("WJAV_BENCH_STALL_S", "150"))
@@ -306,9 +312,20 @@ def child():
                                                     "0")))
         thresholds = QualityThresholds(temperatures=(0.0,))
         batch = BATCH or 64
+    # WJAV_VOCAB_SLICE=<n_text>: decode against a sliced lm head
+    # (vocab_subset.py) — cost depends only on |subset|, so the
+    # measurement subset is synthetic (no tokenizer needed)
+    vocab_subset = None
+    vs = os.environ.get("WJAV_VOCAB_SLICE", "")
+    if vs:
+        from whisperjav_tpu.models.whisper.vocab_subset import (
+            synthetic_text_ids,
+        )
+        vocab_subset = synthetic_text_ids(config, int(vs))
+        _progress(f"vocab slice: {len(vocab_subset)} text ids kept")
     engine = TranscriptionEngine(
         config, params, options=options, thresholds=thresholds,
-        batch_size=batch, int8_weights=True,
+        batch_size=batch, int8_weights=True, vocab_subset=vocab_subset,
     )
     _progress(f"engine built (batch={batch}, beam={options.beam_size})")
     if PRESET:
@@ -340,6 +357,19 @@ def child():
     ahead = os.environ.get("WJAV_ENCODE_AHEAD", "1") != "0"
     dev = engine.upload_audio(audio)
     xa = engine.encode_batch(device_audio=dev) if ahead else None
+    for w in range(WARM_ITERS):
+        # untimed warm-in through the same pipelined path (see WARM_ITERS)
+        nxt = engine.upload_audio(audio)
+        if ahead:
+            res = engine.decode_encoded(xa, 0.0, 1000 + w)
+            xa = engine.encode_batch(device_audio=nxt)
+            np.asarray(res.tokens)
+        else:
+            res = engine.decode_batch(audio, 0.0, 1000 + w,
+                                      device_audio=dev)
+            np.asarray(res.tokens)
+        dev = nxt
+        _progress(f"warm-in {w + 1}/{WARM_ITERS}")
     t0 = time.time()
     try:
         for i in range(TIMED_BATCHES):
@@ -488,6 +518,10 @@ def _qwen_loop(budget: float):
     _progress(f"qwen params initialized ({cfg.name})")
     if os.environ.get("WJAV_FUSE_QKV", "1") != "0":
         params = fuse_lm_qkv(params)
+    if os.environ.get("WJAV_QWEN_INT8", "0") == "1":
+        from whisperjav_tpu.models.qwen.model import quantize_lm_weights
+        params = jax.jit(quantize_lm_weights)(params)
+        _progress("qwen int8 LM weights")
 
     rng = np.random.default_rng(0)
     t = np.arange(n_samples) / 16000.0

@@ -276,7 +276,8 @@ def test_no_repeat_ngram_bans_completion():
         finished=jnp.zeros((1,), jnp.bool_),
         last_was_ts=jnp.zeros((1,), jnp.bool_),
         penult_was_ts=jnp.ones((1,), jnp.bool_),
-        max_ts=jnp.zeros((1,), jnp.int32), rng=jax.random.PRNGKey(0))
+        max_ts=jnp.zeros((1,), jnp.int32), rng=jax.random.PRNGKey(0),
+        seen=jnp.zeros((1, 1), jnp.bool_))
     logits = jnp.zeros((1, cfg.n_vocab), jnp.float32)
     static_mask = np.zeros((cfg.n_vocab,), np.float32)
     out = np.asarray(_apply_logit_rules(

@@ -61,6 +61,158 @@ def test_http_endpoints():
         server.shutdown()
 
 
+def _wait(pred, timeout=30.0, dt=0.2):
+    import time
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(dt)
+    return False
+
+
+def _fake_cli_argv(message="wrote /tmp/x.ja.whisperjav.srt "
+                           "(3 subtitles, RTF 5.0x)"):
+    import sys
+    code = ("import time; print('processing fake.wav'); time.sleep(0.3); "
+            f"print({message!r})")
+    return [sys.executable, "-u", "-c", code]
+
+
+def test_queue_runs_jobs_sequentially(monkeypatch, tmp_path):
+    """Queue state machine: N files → N jobs, sequential execution,
+    per-job logs, stage + parsed result."""
+    import whisperjav_tpu.gui.server as srv
+    monkeypatch.setattr(srv, "build_args", lambda o: _fake_cli_argv())
+    q = srv._QueueState()
+    wavs = []
+    for i in range(2):
+        p = tmp_path / f"in{i}.wav"
+        p.write_bytes(b"RIFF")    # discovery fallback: raw path per job
+        wavs.append(str(p))
+    ids = q.enqueue(wavs, {"mode": "faster"})
+    assert len(ids) == 2
+    assert _wait(lambda: q.status() == "done"), q.summaries()
+    jobs = q.summaries()
+    assert [j["status"] for j in jobs] == ["done", "done"]
+    for j in jobs:
+        assert j["result"]["subtitles"] == 3
+        assert j["result"]["rtf_x"] == 5.0
+        logs = q.job_logs(j["id"], 0)
+        assert any("processing" in ln for ln in logs["lines"])
+        assert any("[exit 0]" in ln for ln in logs["lines"])
+
+
+def test_queue_http_e2e(monkeypatch, tmp_path):
+    """queue → run → progress → result over HTTP (VERDICT round-3 #8):
+    POST /api/start enqueues per-file jobs; /api/queue reports status
+    transitions; /api/logs?job=N serves per-job logs."""
+    import whisperjav_tpu.gui.server as srv
+    from http.server import ThreadingHTTPServer
+    monkeypatch.setattr(srv, "build_args", lambda o: _fake_cli_argv())
+    monkeypatch.setattr(srv, "JOB", srv._QueueState())
+    server = ThreadingHTTPServer(("127.0.0.1", 0), srv.Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    wav = tmp_path / "a.wav"
+    wav.write_bytes(b"RIFF")
+    try:
+        req = urllib.request.Request(
+            f"{base}/api/start",
+            data=json.dumps({"inputs": [str(wav)],
+                             "mode": "faster"}).encode(),
+            headers={"Content-Type": "application/json"})
+        r = json.loads(urllib.request.urlopen(req).read())
+        assert r["ok"] and r["jobs"] == [0]
+
+        def queue():
+            return json.loads(urllib.request.urlopen(
+                f"{base}/api/queue").read())
+        assert _wait(lambda: queue()["status"] == "done"), queue()
+        jobs = queue()["jobs"]
+        assert jobs[0]["status"] == "done"
+        assert jobs[0]["result"]["subtitles"] == 3
+        logs = json.loads(urllib.request.urlopen(
+            f"{base}/api/logs?job=0&since=0").read())
+        assert any("processing" in ln for ln in logs["lines"])
+    finally:
+        server.shutdown()
+
+
+def test_queue_cancel(monkeypatch):
+    import sys
+    import whisperjav_tpu.gui.server as srv
+    slow = [sys.executable, "-u", "-c",
+            "import time; print('processing x'); time.sleep(60)"]
+    monkeypatch.setattr(srv, "build_args", lambda o: slow)
+    q = srv._QueueState()
+    q.enqueue(["/fake1.wav", "/fake2.wav"], {})
+    assert _wait(lambda: any(j["status"] == "running"
+                             for j in q.summaries()))
+    q.cancel()
+    assert _wait(lambda: q.status() == "cancelled"), q.summaries()
+    assert all(j["status"] == "cancelled" for j in q.summaries())
+
+
+@pytest.mark.slow
+def test_queue_real_cli_e2e(tmp_path):
+    """Full product path: two real WAVs through the REAL CLI (tiny,
+    random weights) driven entirely over the GUI HTTP API."""
+    import numpy as np
+    from http.server import ThreadingHTTPServer
+
+    import whisperjav_tpu.gui.server as srv
+    from whisperjav_tpu.modules.audio_io import write_wav
+    for i in range(2):
+        t = np.arange(16000 * 2) / 16000.0
+        write_wav(tmp_path / f"clip{i}.wav",
+                  (0.2 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+                   ).astype(np.float32), 16000)
+    srv.JOB = srv._QueueState()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), srv.Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    out_dir = tmp_path / "out"
+    try:
+        req = urllib.request.Request(
+            f"{base}/api/start",
+            data=json.dumps({"inputs": str(tmp_path / "*.wav"),
+                             "mode": "faster", "model": "tiny",
+                             "output_dir": str(out_dir),
+                             "batch_size": 4}).encode(),
+            headers={"Content-Type": "application/json"})
+        r = json.loads(urllib.request.urlopen(req).read())
+        assert r["ok"] and len(r["jobs"]) == 2
+
+        def queue():
+            return json.loads(urllib.request.urlopen(
+                f"{base}/api/queue").read())
+        assert _wait(lambda: queue()["status"] in ("done", "failed"),
+                     timeout=600), queue()
+        jobs = queue()["jobs"]
+        assert [j["status"] for j in jobs] == ["done", "done"], jobs
+        assert (out_dir / "clip0.ja.whisperjav.srt").exists()
+        assert (out_dir / "clip1.ja.whisperjav.srt").exists()
+    finally:
+        server.shutdown()
+
+
+def test_build_args_ensemble_passes():
+    argv = build_args({
+        "inputs": "/x.wav", "ensemble": True,
+        "pass1_model": "turbo", "pass2_model": "large-v2",
+        "pass1_sensitivity": "aggressive", "pass2_sensitivity":
+        "conservative", "merge_strategy": "smart_merge",
+    })
+    joined = " ".join(argv)
+    assert "--ensemble" in joined
+    assert "--pass1-model turbo" in joined
+    assert "--pass2-sensitivity conservative" in joined
+    assert "--merge-strategy smart_merge" in joined
+
+
 def test_component_schema_endpoint_fields():
     """Per-backend param schemas (reference: webview_gui/api.py:830
     get_component_schema) — every registered component introspects to a

@@ -619,6 +619,10 @@ def _translate_output(args, srt_path: Path) -> None:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from whisperjav_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+    )
+    enable_persistent_compilation_cache()
     args = parse_arguments(argv)
     if args.asr:
         args.mode = _ASR_TO_MODE[args.asr]

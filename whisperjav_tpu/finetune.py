@@ -141,6 +141,10 @@ def _finalize(buf, n_mels, log_mel_spectrogram, jnp):
 # ---------------------------------------------------------------------------
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from whisperjav_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+    )
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser(
         prog="whisperjav-finetune",
         description="fine-tune Whisper on corrected (WAV, SRT) pairs")

@@ -1,4 +1,10 @@
-"""Single-page GUI app (inline HTML/JS, no build step)."""
+"""Single-page GUI app (inline HTML/JS, no build step).
+
+Product surface (reference: webview_gui/assets/app.js — sampled, not
+copied): per-file job queue with live status/stage chips, per-job log
+panel fed by /api/logs, ensemble pass-editor, preset CRUD against
+/api/presets. The page never talks to a model — every action builds CLI
+argv server-side (argv-builder architecture, gui/server.py)."""
 
 APP_HTML = """<!DOCTYPE html>
 <html lang="en">
@@ -29,11 +35,28 @@ APP_HTML = """<!DOCTYPE html>
   #cancel { background: #3a3f48; color: #e8e8e8; }
   #logs { font-family: ui-monospace, monospace; font-size: 12px;
           white-space: pre-wrap; background: #101214; border-radius: 6px;
-          padding: 12px; height: 70vh; overflow-y: auto; }
+          padding: 12px; height: 42vh; overflow-y: auto; }
   #status { font-size: 12px; color: #9aa4b2; margin-left: 10px; }
   .chk { display: flex; align-items: center; gap: 6px; margin-top: 8px;
          font-size: 13px; }
   .chk input { width: auto; }
+  #queue { width: 100%; border-collapse: collapse; font-size: 12px;
+           margin-bottom: 12px; }
+  #queue th { text-align: left; color: #9aa4b2; font-weight: 500;
+              padding: 4px 8px; border-bottom: 1px solid #2c313a; }
+  #queue td { padding: 5px 8px; border-bottom: 1px solid #22262d;
+              cursor: pointer; }
+  #queue tr.sel td { background: #22262d; }
+  .chip { display: inline-block; padding: 1px 8px; border-radius: 9px;
+          font-size: 11px; font-weight: 600; }
+  .chip.queued { background: #3a3f48; }
+  .chip.running { background: #2563eb; }
+  .chip.done { background: #166534; }
+  .chip.failed { background: #991b1b; }
+  .chip.cancelled { background: #3a3f48; color: #9aa4b2; }
+  #ensemble_panel { display: none; border: 1px solid #2c313a;
+                    border-radius: 6px; padding: 4px 10px 10px;
+                    margin-top: 8px; }
 </style>
 </head>
 <body>
@@ -71,10 +94,28 @@ APP_HTML = """<!DOCTYPE html>
     </div>
     <div class="chk"><input type="checkbox" id="ensemble">
       <span>Two-pass ensemble</span></div>
+    <div id="ensemble_panel">
+      <div class="row">
+        <div><label>Pass 1 model</label><input id="pass1_model"
+          placeholder="(mode default)"></div>
+        <div><label>Pass 1 sensitivity</label>
+          <select id="pass1_sensitivity"></select></div>
+      </div>
+      <div class="row">
+        <div><label>Pass 2 model</label><input id="pass2_model"
+          placeholder="(mode default)"></div>
+        <div><label>Pass 2 sensitivity</label>
+          <select id="pass2_sensitivity"></select></div>
+      </div>
+      <label>Merge strategy</label>
+      <select id="merge_strategy"></select>
+    </div>
     <div class="chk"><input type="checkbox" id="skip_existing" checked>
       <span>Skip existing outputs</span></div>
     <div class="chk"><input type="checkbox" id="make_vtt">
       <span>Also write VTT</span></div>
+    <div class="chk"><input type="checkbox" id="word_timestamps">
+      <span>Word-level timestamp refinement</span></div>
     <label>Preset</label>
     <div class="row">
       <div><select id="preset"><option value="">(none)</option></select></div>
@@ -86,14 +127,21 @@ APP_HTML = """<!DOCTYPE html>
       <div><button id="delete_preset" style="background:#3a3f48;color:#e8e8e8">
         Delete</button></div>
     </div>
-    <button id="start">Start</button>
-    <button id="cancel">Cancel</button>
+    <button id="start">Add to queue</button>
+    <button id="cancel">Cancel all</button>
   </div>
-  <div class="panel"><div id="logs">ready.</div></div>
+  <div class="panel">
+    <table id="queue">
+      <thead><tr><th>#</th><th>File</th><th>Status</th><th>Stage</th>
+        <th>Result</th></tr></thead>
+      <tbody id="queue_body"></tbody>
+    </table>
+    <div id="logs">ready.</div>
+  </div>
 </main>
 <script>
 const $ = id => document.getElementById(id);
-let next = 0, polling = null;
+let next = 0, selJob = null, followRunning = true, timer = null;
 
 async function loadSchema() {
   const s = await (await fetch('/api/schema')).json();
@@ -108,45 +156,77 @@ async function loadSchema() {
   fill('mode', Object.keys(s.modes));
   $('mode').value = 'balanced';
   fill('sensitivity', s.sensitivities); $('sensitivity').value = 'balanced';
+  fill('pass1_sensitivity', [''].concat(s.sensitivities));
+  fill('pass2_sensitivity', [''].concat(s.sensitivities));
   fill('vad_backend', [''].concat(s.vad_backends));
   fill('scene_backend', [''].concat(s.scene_backends));
   fill('enhancer', [''].concat(s.enhancers));
   fill('translate', s.translate_providers);
+  fill('merge_strategy', [''].concat(s.merge_strategies));
 }
+
+$('ensemble').onchange = () =>
+  $('ensemble_panel').style.display = $('ensemble').checked ? 'block' : 'none';
 
 function options() {
   const o = { inputs: $('inputs').value.trim() };
   for (const k of ['output_dir','mode','sensitivity','vad_backend',
                    'scene_backend','enhancer','subs_language','checkpoint',
-                   'translate','batch_size'])
+                   'translate','batch_size','pass1_model','pass2_model',
+                   'pass1_sensitivity','pass2_sensitivity','merge_strategy'])
     if ($(k).value) o[k] = $(k).value;
-  for (const k of ['ensemble','skip_existing','make_vtt'])
+  for (const k of ['ensemble','skip_existing','make_vtt','word_timestamps'])
     o[k] = $(k).checked;
   return o;
 }
 
-async function poll() {
-  const r = await (await fetch('/api/logs?since=' + next)).json();
-  if (r.lines.length) {
-    if (next === 0) $('logs').textContent = '';
-    $('logs').textContent += r.lines.join('\\n') + '\\n';
-    $('logs').scrollTop = $('logs').scrollHeight;
+function chip(st) { return '<span class="chip ' + st + '">' + st + '</span>'; }
+
+async function refresh() {
+  const q = await (await fetch('/api/queue')).json();
+  const body = $('queue_body'); body.innerHTML = '';
+  let running = null;
+  for (const j of q.jobs) {
+    if (j.status === 'running') running = j.id;
+    const tr = document.createElement('tr');
+    if (j.id === selJob) tr.className = 'sel';
+    const res = j.result && j.result.srt
+      ? j.result.subtitles + ' subs · RTF ' + j.result.rtf_x + 'x' : '';
+    tr.innerHTML = '<td>' + j.id + '</td><td>' +
+      j.file.split('/').pop() + '</td><td>' + chip(j.status) +
+      '</td><td>' + (j.stage || '') + '</td><td>' + res + '</td>';
+    tr.onclick = () => { selJob = j.id; followRunning = false; next = 0;
+                         $('logs').textContent = ''; };
+    body.appendChild(tr);
   }
-  next = r.next;
-  $('status').textContent = '· ' + r.status;
-  if (r.status === 'running') polling = setTimeout(poll, 700);
+  if (followRunning && running !== null && running !== selJob) {
+    selJob = running; next = 0; $('logs').textContent = '';
+  }
+  $('status').textContent = '· ' + q.status;
+  if (selJob !== null) {
+    const r = await (await fetch('/api/logs?job=' + selJob +
+                                 '&since=' + next)).json();
+    if (r.lines.length) {
+      $('logs').textContent += r.lines.join('\\n') + '\\n';
+      $('logs').scrollTop = $('logs').scrollHeight;
+    }
+    next = r.next;
+  }
+  clearTimeout(timer);
+  timer = setTimeout(refresh, q.status === 'running' ? 700 : 2500);
 }
 
 $('start').onclick = async () => {
   if (!$('inputs').value.trim()) { alert('enter an input path'); return; }
-  next = 0; clearTimeout(polling);
   const r = await (await fetch('/api/start', { method: 'POST',
     headers: {'Content-Type': 'application/json'},
     body: JSON.stringify(options()) })).json();
   if (!r.ok) { alert(r.error); return; }
-  poll();
+  followRunning = true;
+  refresh();
 };
-$('cancel').onclick = () => fetch('/api/cancel', { method: 'POST' });
+$('cancel').onclick = () => fetch('/api/cancel', { method: 'POST',
+  headers: {'Content-Type': 'application/json'}, body: '{}' });
 
 async function loadPresets() {
   const ps = await (await fetch('/api/presets')).json();
@@ -165,6 +245,7 @@ async function loadPresets() {
       if (el.type === 'checkbox') el.checked = !!v;
       else el.value = v;
     }
+    $('ensemble').onchange();
   };
 }
 $('save_preset').onclick = async () => {
@@ -187,6 +268,7 @@ $('delete_preset').onclick = async () => {
 
 loadSchema();
 loadPresets();
+refresh();
 </script>
 </body>
 </html>

@@ -15,8 +15,11 @@ GET /api/status.
 from __future__ import annotations
 
 import json
+import os
+import re
 import subprocess
 import sys
+import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
@@ -75,43 +78,218 @@ def build_args(options: Dict) -> List[str]:
     return argv
 
 
-class _JobState:
-    def __init__(self):
-        self.proc: Optional[subprocess.Popen] = None
-        self.logs: List[str] = []
-        self.lock = threading.Lock()
-        self.status = "idle"
+_DONE_RE = re.compile(
+    r"wrote (\S+) \((\d+) subtitles?, RTF ([0-9.]+)x\)")
 
-    def start(self, argv: List[str]) -> None:
+
+class _Job:
+    """One queued file: its own argv, logs, stage, and result."""
+
+    def __init__(self, jid: int, path: str, argv: List[str]):
+        self.id = jid
+        self.path = path
+        self.argv = argv
+        self.status = "queued"     # queued|running|done|failed|cancelled
+        self.stage = ""            # last tracer/log-derived stage detail
+        self.logs: List[str] = [f"$ {' '.join(argv)}"]
+        self.result: Dict = {}
+
+    def summary(self) -> Dict:
+        return {"id": self.id, "file": self.path, "status": self.status,
+                "stage": self.stage, "result": self.result,
+                "log_len": len(self.logs)}
+
+
+class _QueueState:
+    """Sequential per-file job queue (one CLI subprocess at a time — a
+    single TPU chip serializes decode anyway; the reference's GUI also
+    runs one whisperjav process per click, webview_gui/api.py:350).
+    Per-file progress comes from the CLI's log lines plus the parameter
+    tracer's JSONL events (--trace-params), giving the UI live
+    stage/stats without the GUI ever loading a model."""
+
+    def __init__(self):
+        self.jobs: List[_Job] = []
+        self.lock = threading.Lock()
+        self.proc: Optional[subprocess.Popen] = None
+        self.current: Optional[_Job] = None
+        self._worker: Optional[threading.Thread] = None
+        self._cancel_all = False
+
+    # -------------------------------------------------------------- api
+    def enqueue(self, inputs: List[str], options: Dict) -> List[int]:
+        """One job per discovered file (glob/dir expansion server-side so
+        the queue shows real files); falls back to one job per raw input
+        when discovery finds nothing (the CLI then errors visibly)."""
+        files: List[str] = []
+        try:
+            from whisperjav_tpu.modules.media_discovery import discover
+            for inp in inputs:
+                found = [str(m.path) for m in discover([inp])]
+                files.extend(found or [inp])
+        except Exception:
+            files = list(inputs)
+        ids = []
         with self.lock:
-            if self.proc is not None and self.proc.poll() is None:
-                raise RuntimeError("a job is already running")
-            self.logs = [f"$ {' '.join(argv)}"]
-            self.status = "running"
-            self.proc = subprocess.Popen(
+            base = len(self.jobs)
+            for i, f in enumerate(files):
+                per_file = dict(options)
+                per_file["inputs"] = [f]
+                job = _Job(base + i, f, build_args(per_file))
+                self.jobs.append(job)
+                ids.append(job.id)
+            self._cancel_all = False
+            if self._worker is None or not self._worker.is_alive():
+                self._worker = threading.Thread(target=self._run_queue,
+                                                daemon=True)
+                self._worker.start()
+        return ids
+
+    def cancel(self, job_id: Optional[int] = None) -> None:
+        with self.lock:
+            if job_id is None:
+                self._cancel_all = True
+                for j in self.jobs:
+                    if j.status == "queued":
+                        j.status = "cancelled"
+                if self.proc is not None and self.proc.poll() is None:
+                    self.proc.terminate()
+            else:
+                for j in self.jobs:
+                    if j.id == job_id:
+                        if j.status == "queued":
+                            j.status = "cancelled"
+                        elif j is self.current and self.proc is not None \
+                                and self.proc.poll() is None:
+                            self.proc.terminate()
+
+    def status(self) -> str:
+        with self.lock:
+            if any(j.status == "running" for j in self.jobs):
+                return "running"
+            if any(j.status == "queued" for j in self.jobs):
+                return "queued"
+            if not self.jobs:
+                return "idle"
+            if all(j.status == "cancelled" for j in self.jobs):
+                return "cancelled"
+            return ("done" if all(j.status in ("done", "cancelled")
+                                  for j in self.jobs) else "failed")
+
+    def summaries(self) -> List[Dict]:
+        with self.lock:
+            return [j.summary() for j in self.jobs]
+
+    def job_logs(self, job_id: int, since: int) -> Dict:
+        with self.lock:
+            for j in self.jobs:
+                if j.id == job_id:
+                    return {"lines": j.logs[since:], "next": len(j.logs),
+                            "status": j.status}
+        return {"lines": [], "next": 0, "status": "unknown"}
+
+    # ----------------------------------------------------------- worker
+    def _run_queue(self) -> None:
+        while True:
+            with self.lock:
+                nxt = next((j for j in self.jobs if j.status == "queued"),
+                           None)
+                if nxt is None or self._cancel_all:
+                    self.current = None
+                    return
+                nxt.status = "running"
+                nxt.stage = "starting"
+                self.current = nxt
+            self._run_one(nxt)
+
+    def _run_one(self, job: _Job) -> None:
+        trace_path = None
+        argv = list(job.argv)
+        try:
+            fd, trace_path = tempfile.mkstemp(suffix=".jsonl",
+                                              prefix="wjav_gui_trace_")
+            os.close(fd)
+            argv += ["--trace-params", trace_path]
+        except OSError:
+            trace_path = None
+        try:
+            proc = subprocess.Popen(
                 argv, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True, bufsize=1)
-        threading.Thread(target=self._pump, daemon=True).start()
-
-    def _pump(self) -> None:
-        proc = self.proc
-        assert proc is not None and proc.stdout is not None
-        for line in proc.stdout:
+        except OSError as e:
             with self.lock:
-                self.logs.append(line.rstrip("\n"))
+                job.status = "failed"
+                job.logs.append(f"[spawn error: {e}]")
+            return
+        with self.lock:
+            self.proc = proc
+        stop_tail = threading.Event()
+        tailer = threading.Thread(
+            target=self._tail_trace, args=(job, trace_path, stop_tail),
+            daemon=True)
+        if trace_path:
+            tailer.start()
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            line = line.rstrip("\n")
+            with self.lock:
+                job.logs.append(line)
+                if "processing" in line:
+                    job.stage = "processing"
+                m = _DONE_RE.search(line)
+                if m:
+                    job.result = {"srt": m.group(1),
+                                  "subtitles": int(m.group(2)),
+                                  "rtf_x": float(m.group(3))}
         code = proc.wait()
+        stop_tail.set()
+        if trace_path:
+            tailer.join(timeout=2.0)
+            try:
+                os.unlink(trace_path)
+            except OSError:
+                pass
         with self.lock:
-            self.status = "done" if code == 0 else f"failed ({code})"
-            self.logs.append(f"[exit {code}]")
+            if job.status != "cancelled":
+                job.status = ("done" if code == 0 else
+                              "cancelled" if code < 0 else
+                              f"failed")
+            job.stage = "" if job.status == "done" else job.stage
+            job.logs.append(f"[exit {code}]")
 
-    def cancel(self) -> None:
-        with self.lock:
-            if self.proc is not None and self.proc.poll() is None:
-                self.proc.terminate()
-                self.status = "cancelled"
+    def _tail_trace(self, job: _Job, path: str,
+                    stop: threading.Event) -> None:
+        """Follow the CLI's --trace-params JSONL; each event becomes the
+        job's live stage detail (utils/tracer.py event stream)."""
+        pos = 0
+        while not stop.wait(0.5):
+            try:
+                with open(path, "r", encoding="utf-8") as f:
+                    f.seek(pos)
+                    for line in f:
+                        pos = f.tell()
+                        try:
+                            ev = json.loads(line)
+                        except ValueError:
+                            continue
+                        name = ev.get("event", "")
+                        data = ev.get("data", {})
+                        with self.lock:
+                            if name == "segmentation":
+                                job.stage = (
+                                    f"decoding {data.get('windows', '?')} "
+                                    f"windows ({data.get('scenes', '?')} "
+                                    "scenes)")
+                            elif name == "file_start":
+                                job.stage = (f"extracted "
+                                             f"{data.get('duration', 0):.0f}s")
+                            elif name == "file_complete":
+                                job.stage = "sanitizing"
+            except OSError:
+                pass
 
 
-JOB = _JobState()
+JOB = _QueueState()
 
 
 def schema() -> Dict:
@@ -231,18 +409,30 @@ class Handler(BaseHTTPRequestHandler):
             self._json(component_schema(
                 q.get("type", [""])[0], q.get("name", [""])[0]))
         elif url.path == "/api/status":
-            with JOB.lock:
-                self._json({"status": JOB.status})
+            self._json({"status": JOB.status()})
+        elif url.path == "/api/queue":
+            self._json({"jobs": JOB.summaries(), "status": JOB.status()})
         elif url.path == "/api/presets":
             from whisperjav_tpu.config.user_config import UserConfigManager
             m = UserConfigManager()
             self._json({name: m.get_preset(name)
                         for name in m.list_presets()})
         elif url.path == "/api/logs":
-            since = int(parse_qs(url.query).get("since", ["0"])[0])
-            with JOB.lock:
-                self._json({"lines": JOB.logs[since:],
-                            "next": len(JOB.logs), "status": JOB.status})
+            q = parse_qs(url.query)
+            since = int(q.get("since", ["0"])[0])
+            jobs = JOB.summaries()
+            if "job" in q:
+                jid = int(q["job"][0])
+            elif jobs:       # default: the running job, else the last one
+                running = [j for j in jobs if j["status"] == "running"]
+                jid = (running or jobs)[-1]["id"]
+            else:
+                self._json({"lines": [], "next": 0, "status": "idle"})
+                return
+            out = JOB.job_logs(jid, since)
+            out["job"] = jid
+            out["queue_status"] = JOB.status()
+            self._json(out)
         else:
             self._json({"error": "not found"}, 404)
 
@@ -251,13 +441,16 @@ class Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", "0"))
         body = json.loads(self.rfile.read(length) or b"{}")
         if url.path == "/api/start":
-            try:
-                JOB.start(build_args(body))
-                self._json({"ok": True})
-            except (RuntimeError, OSError) as e:
-                self._json({"ok": False, "error": str(e)}, 409)
+            inputs = body.get("inputs") or []
+            if isinstance(inputs, str):
+                inputs = [inputs]
+            if not inputs:
+                self._json({"ok": False, "error": "no inputs"}, 400)
+                return
+            ids = JOB.enqueue(inputs, body)
+            self._json({"ok": True, "jobs": ids})
         elif url.path == "/api/cancel":
-            JOB.cancel()
+            JOB.cancel(body.get("job"))
             self._json({"ok": True})
         elif url.path == "/api/presets":
             from whisperjav_tpu.config.user_config import UserConfigManager

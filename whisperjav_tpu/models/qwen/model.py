@@ -41,6 +41,9 @@ import numpy as np
 # LM layer-scan unroll factor (same A/B knob as the whisper decoder,
 # models/whisper/model.py:_SCAN_UNROLL; trace-time static)
 _SCAN_UNROLL = max(1, int(os.environ.get("WJAV_SCAN_UNROLL", "1")))
+# column-cache generate step (whisper's ADR-002 lever ported to the LM
+# scan); WJAV_QWEN_COLUMN_CACHE=0 restores the full-cache restack path
+_COLUMN_CACHE = os.environ.get("WJAV_QWEN_COLUMN_CACHE", "1") != "0"
 
 Params = Dict
 
@@ -169,7 +172,15 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 
 
 def _dense(x, w, b: Optional[jax.Array] = None):
-    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if isinstance(w, dict):
+        # int8 weights (quantize_lm_weights): dequant fuses into the
+        # matmul via the per-output-channel scale
+        out = jnp.dot(x, w["q"].astype(x.dtype),
+                      preferred_element_type=jnp.float32
+                      ) * w["s"].astype(jnp.float32)
+    else:
+        out = jnp.dot(x, w.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out.astype(x.dtype)
@@ -372,7 +383,8 @@ class LMCache(NamedTuple):
         return LMCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
-def _lm_block(x, p, cache_k, cache_v, pos, cfg: QwenASRConfig, bias):
+def _lm_block(x, p, cache_k, cache_v, pos, cfg: QwenASRConfig, bias,
+              column_mode: bool = False):
     b, q_len, d = x.shape
     nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     h = rms_norm(x, p["ln1"], cfg.rms_eps)
@@ -393,19 +405,51 @@ def _lm_block(x, p, cache_k, cache_v, pos, cfg: QwenASRConfig, bias):
     # Qwen3 per-head q/k RMSNorm, then rotary
     q = rope(rms_norm(q, p["q_norm"], cfg.rms_eps), positions, cfg.rope_theta)
     k = rope(rms_norm(k, p["k_norm"], cfg.rms_eps), positions, cfg.rope_theta)
+    scale = hd ** -0.5
+    rep = nh // nkv
+    t_max = cache_k.shape[1]
+    if column_mode:
+        # q_len == 1 generate step (whisper model.py column-cache port —
+        # docs/ADR-002): the layer scan emits ONLY this layer's new K/V
+        # column; lm_step writes all layers with ONE stacked
+        # dynamic_update_slice into the while-carried cache, instead of
+        # restacking the full (L, B, T, kv_d) cache through scan ys every
+        # step (read+write of the whole cache as pure shuffle).
+        # Attention = old cache (bias masks k >= pos) + the new column
+        # appended on the key axis. GQA runs as a grouped einsum —
+        # no materialized jnp.repeat copy of the cache.
+        qg = (q * scale).reshape(b, q_len, nkv, rep, hd)
+        kk = cache_k.astype(q.dtype).reshape(b, t_max, nkv, hd)
+        vv = cache_v.astype(q.dtype).reshape(b, t_max, nkv, hd)
+        k_new = k.reshape(b, 1, nkv, hd)
+        v_new = v.reshape(b, 1, nkv, hd)
+        lg_c = jnp.einsum("bqgrd,bkgd->bgrqk", qg, kk,
+                          preferred_element_type=jnp.float32) + bias
+        lg_n = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k_new,
+                          preferred_element_type=jnp.float32)
+        lg = jnp.concatenate([lg_c, lg_n], axis=-1)
+        a = jax.nn.softmax(lg.astype(jnp.float32), axis=-1).astype(q.dtype)
+        o = (jnp.einsum("bgrqk,bkgd->bqgrd", a[..., :t_max], vv,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum("bgrqk,bkgd->bqgrd", a[..., t_max:], v_new,
+                          preferred_element_type=jnp.float32)
+             ).astype(x.dtype)
+        x = x + _dense(o.reshape(b, q_len, nh * hd), p["wo"])
+        h = rms_norm(x, p["ln2"], cfg.rms_eps)
+        gate = jax.nn.silu(_dense(h, p["w_gate"]))
+        x = x + _dense(gate * _dense(h, p["w_up"]), p["w_down"])
+        return (x, k.reshape(b, 1, nkv * hd).astype(cache_k.dtype),
+                v.reshape(b, 1, nkv * hd).astype(cache_v.dtype))
     cache_k = jax.lax.dynamic_update_slice(
         cache_k, k.reshape(b, q_len, nkv * hd).astype(cache_k.dtype),
         (0, pos, 0))
     cache_v = jax.lax.dynamic_update_slice(
         cache_v, v.astype(cache_v.dtype), (0, pos, 0))
-    t_max = cache_k.shape[1]
     # GQA: split heads transiently, repeat kv heads
-    rep = nh // nkv
     kk = jnp.repeat(cache_k.astype(q.dtype).reshape(b, t_max, nkv, hd),
                     rep, axis=2)
     vv = jnp.repeat(cache_v.astype(q.dtype).reshape(b, t_max, nkv, hd),
                     rep, axis=2)
-    scale = hd ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, kk,
                         preferred_element_type=jnp.float32) + bias
     a = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
@@ -441,26 +485,83 @@ def fuse_lm_qkv(params: Params) -> Params:
     return out
 
 
+def quantize_lm_weights(params: Params) -> Params:
+    """int8-quantize the LM generate-hot matmuls + the lm head.
+
+    Same lever as whisper's quant.py:quantize_decoder_weights: the LM
+    block weights (~3.4 GB bf16 for 1.7B) and the (d, 151936) head
+    (~0.6 GB) are read EVERY generate step; symmetric per-output-channel
+    int8 halves that stream, with the dequant fused into each matmul
+    (_dense). The bf16 tok_emb stays for embedding lookups; norms stay
+    bf16. Apply AFTER fuse_lm_qkv (per-output-channel scales commute
+    with the concat). The audio tower is untouched — it runs once per
+    window and amortizes weight reads over hundreds of positions.
+    """
+    def _q(w):
+        w32 = jnp.asarray(w, jnp.float32)
+        s = jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 127.0 + 1e-12
+        return {"q": jnp.clip(jnp.round(w32 / s), -127, 127
+                              ).astype(jnp.int8), "s": s}
+
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for name in ("wqkv", "wq", "wk", "wv", "wo",
+                 "w_gate", "w_up", "w_down"):
+        if name in blocks and not isinstance(blocks[name], dict):
+            blocks[name] = _q(blocks[name])
+    out["blocks"] = blocks
+    if "lm_head" in params and "lm_head_q" not in params:
+        out["lm_head_q"] = _q(params["lm_head"])
+        out.pop("lm_head")
+    return out
+
+
 def lm_step(params: Params, cfg: QwenASRConfig, x_emb: jax.Array,
             pos, cache: LMCache) -> Tuple[jax.Array, LMCache]:
     """Embedded inputs (B, q_len, d) at [pos, pos+q) → logits + cache."""
     b, q_len, _ = x_emb.shape
     t_max = cache.k.shape[2]
-    q_idx = pos + jax.lax.broadcasted_iota(jnp.int32, (q_len, t_max), 0)
-    k_idx = jax.lax.broadcasted_iota(jnp.int32, (q_len, t_max), 1)
-    bias = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)[None, None]
+    if _COLUMN_CACHE and q_len == 1:
+        # column-cache generate step (see _lm_block column_mode): scan ys
+        # are only the new K/V columns; ONE stacked write updates every
+        # layer. WJAV_QWEN_COLUMN_CACHE=0 restores the restack path (A/B).
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (1, t_max), 1)
+        col_bias = jnp.where(k_idx < pos, 0.0,
+                             -jnp.inf)[None, None, None]   # (1,1,1,1,T)
 
-    def body(h, xs):
-        layer_p, ck, cv = xs
-        h, nk, nv = _lm_block(h, layer_p, ck, cv, pos, cfg, bias)
-        return h, (nk, nv)
+        def body(h, xs):
+            layer_p, ck, cv = xs
+            h, kc, vc = _lm_block(h, layer_p, ck, cv, pos, cfg, col_bias,
+                                  column_mode=True)
+            return h, (kc, vc)
 
-    x, (nk, nv) = jax.lax.scan(body, x_emb,
-                               (params["blocks"], cache.k, cache.v),
-                               unroll=_SCAN_UNROLL)
+        x, (k_cols, v_cols) = jax.lax.scan(
+            body, x_emb, (params["blocks"], cache.k, cache.v),
+            unroll=_SCAN_UNROLL)
+        nk = jax.lax.dynamic_update_slice(cache.k, k_cols, (0, 0, pos, 0))
+        nv = jax.lax.dynamic_update_slice(cache.v, v_cols, (0, 0, pos, 0))
+    else:
+        q_idx = pos + jax.lax.broadcasted_iota(jnp.int32, (q_len, t_max), 0)
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (q_len, t_max), 1)
+        bias = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)[None, None]
+
+        def body(h, xs):
+            layer_p, ck, cv = xs
+            h, nk, nv = _lm_block(h, layer_p, ck, cv, pos, cfg, bias)
+            return h, (nk, nv)
+
+        x, (nk, nv) = jax.lax.scan(body, x_emb,
+                                   (params["blocks"], cache.k, cache.v),
+                                   unroll=_SCAN_UNROLL)
     x = rms_norm(x, params["ln_f"], cfg.rms_eps)
-    logits = jnp.dot(x, params["lm_head"].astype(x.dtype),
-                     preferred_element_type=jnp.float32)
+    if "lm_head_q" in params:       # int8 head (quantize_lm_weights)
+        lm = params["lm_head_q"]
+        logits = jnp.dot(x, lm["q"].astype(x.dtype),
+                         preferred_element_type=jnp.float32
+                         ) * lm["s"].astype(jnp.float32)
+    else:
+        logits = jnp.dot(x, params["lm_head"].astype(x.dtype),
+                         preferred_element_type=jnp.float32)
     return logits, LMCache(nk, nv)
 
 
@@ -475,7 +576,8 @@ class QwenGenResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new", "audio_len",
-                                             "repetition_penalty"))
+                                             "repetition_penalty",
+                                             "temperature"))
 def generate(params: Params, cfg: QwenASRConfig, mel: jax.Array,
              max_new: int, audio_len: int,
              repetition_penalty: float = 1.1,
@@ -523,10 +625,13 @@ def generate(params: Params, cfg: QwenASRConfig, mel: jax.Array,
         length: jax.Array
         finished: jax.Array
         rng: jax.Array
+        seen: jax.Array   # (B, V) emitted-id membership, incremental
 
     state = S(jnp.int32(0), jnp.full((b, max_new), cfg.eos_id, jnp.int32),
               cache, cur, jnp.zeros((b,), jnp.float32),
-              jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.bool_), rng)
+              jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.bool_), rng,
+              jnp.zeros((b, cfg.vocab_size if repetition_penalty != 1.0
+                         else 1), jnp.bool_))
 
     def cond(s):
         return (s.step < max_new) & ~jnp.all(s.finished)
@@ -534,17 +639,23 @@ def generate(params: Params, cfg: QwenASRConfig, mel: jax.Array,
     def body(s):
         logits = s.cur
         if repetition_penalty != 1.0:
-            # scatter-free membership mask (TPU serializes (B, V)
-            # scatters — ~ms/step; see whisper decode.py / ADR-002)
+            # incremental membership carry (one (B, V) one-hot OR per
+            # step) — neither a (B, V) scatter (TPU serializes those,
+            # ~ms/step) nor the old (B, max_new, V) broadcast-compare
+            # rebuild (see whisper decode.py / ADR-002)
             vid = jax.lax.broadcasted_iota(jnp.int32, (b, cfg.vocab_size), 1)
-            seen = jnp.any(s.tokens[:, :, None] == vid[:, None, :], axis=1)
-            seen &= vid != cfg.eos_id
+            seen = s.seen & (vid != cfg.eos_id)
             pen = jnp.where(logits > 0, logits / repetition_penalty,
                             logits * repetition_penalty)
             logits = jnp.where(seen, pen, logits)
-        rng, sub = jax.random.split(s.rng)
-        gumbel = jax.random.gumbel(sub, logits.shape, jnp.float32)
-        tok = jnp.argmax(logits + temperature * gumbel, axis=-1)
+        if temperature == 0.0:
+            # static greedy: skip the per-step (B, V) threefry draw
+            rng = s.rng
+            tok = jnp.argmax(logits, axis=-1)
+        else:
+            rng, sub = jax.random.split(s.rng)
+            gumbel = jax.random.gumbel(sub, logits.shape, jnp.float32)
+            tok = jnp.argmax(logits + temperature * gumbel, axis=-1)
         tok = jnp.where(s.finished, cfg.eos_id, tok).astype(jnp.int32)
         lp = jax.nn.log_softmax(logits, axis=-1)
         tok_lp = jnp.take_along_axis(lp, tok[:, None], -1)[:, 0]
@@ -553,11 +664,16 @@ def generate(params: Params, cfg: QwenASRConfig, mel: jax.Array,
         length = s.length + jnp.where(s.finished | is_eos, 0, 1)
         tokens = jax.lax.dynamic_update_slice(s.tokens, tok[:, None],
                                               (0, s.step))
+        if repetition_penalty != 1.0:
+            vid = jax.lax.broadcasted_iota(jnp.int32, (b, cfg.vocab_size), 1)
+            new_seen = s.seen | (vid == tok[:, None])
+        else:
+            new_seen = s.seen
         pos = audio_len + ctx_len + 1 + s.step
         emb = params["tok_emb"][tok[:, None]].astype(dtype)
         nxt, cache = lm_step(params, cfg, emb, pos, s.cache)
         return S(s.step + 1, tokens, cache, nxt[:, 0], sum_lp, length,
-                 s.finished | is_eos, rng)
+                 s.finished | is_eos, rng, new_seen)
 
     f = jax.lax.while_loop(cond, body, state)
     avg_lp = f.sum_lp / (f.length.astype(jnp.float32) + 1.0)
@@ -572,7 +688,8 @@ def token_budget(cfg: QwenASRConfig, audio_seconds: float) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new",
-                                             "repetition_penalty"))
+                                             "repetition_penalty",
+                                             "temperature"))
 def generate_text(params: Params, cfg: QwenASRConfig,
                   prompt_ids: jax.Array, prompt_len: jax.Array,
                   max_new: int,
@@ -609,10 +726,13 @@ def generate_text(params: Params, cfg: QwenASRConfig,
         length: jax.Array
         finished: jax.Array
         rng: jax.Array
+        seen: jax.Array   # (B, V) emitted-id membership, incremental
 
     state = S(jnp.int32(0), jnp.full((b, max_new), cfg.eos_id, jnp.int32),
               cache, cur, jnp.zeros((b,), jnp.float32),
-              jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.bool_), rng)
+              jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.bool_), rng,
+              jnp.zeros((b, cfg.vocab_size if repetition_penalty != 1.0
+                         else 1), jnp.bool_))
 
     def cond(s):
         return (s.step < max_new) & ~jnp.all(s.finished)
@@ -620,17 +740,19 @@ def generate_text(params: Params, cfg: QwenASRConfig,
     def body(s):
         logits = s.cur
         if repetition_penalty != 1.0:
-            # scatter-free membership mask (TPU serializes (B, V)
-            # scatters — ~ms/step; see whisper decode.py / ADR-002)
+            # incremental membership carry (see generate() above)
             vid = jax.lax.broadcasted_iota(jnp.int32, (b, cfg.vocab_size), 1)
-            seen = jnp.any(s.tokens[:, :, None] == vid[:, None, :], axis=1)
-            seen &= vid != cfg.eos_id
+            seen = s.seen & (vid != cfg.eos_id)
             pen = jnp.where(logits > 0, logits / repetition_penalty,
                             logits * repetition_penalty)
             logits = jnp.where(seen, pen, logits)
-        rng, sub = jax.random.split(s.rng)
-        gumbel = jax.random.gumbel(sub, logits.shape, jnp.float32)
-        tok = jnp.argmax(logits + temperature * gumbel, axis=-1)
+        if temperature == 0.0:
+            rng = s.rng
+            tok = jnp.argmax(logits, axis=-1)
+        else:
+            rng, sub = jax.random.split(s.rng)
+            gumbel = jax.random.gumbel(sub, logits.shape, jnp.float32)
+            tok = jnp.argmax(logits + temperature * gumbel, axis=-1)
         tok = jnp.where(s.finished, cfg.eos_id, tok).astype(jnp.int32)
         lp = jax.nn.log_softmax(logits, axis=-1)
         tok_lp = jnp.take_along_axis(lp, tok[:, None], -1)[:, 0]
@@ -639,13 +761,18 @@ def generate_text(params: Params, cfg: QwenASRConfig,
         length = s.length + jnp.where(s.finished | is_eos, 0, 1)
         tokens = jax.lax.dynamic_update_slice(s.tokens, tok[:, None],
                                               (0, s.step))
+        if repetition_penalty != 1.0:
+            vid = jax.lax.broadcasted_iota(jnp.int32, (b, cfg.vocab_size), 1)
+            new_seen = s.seen | (vid == tok[:, None])
+        else:
+            new_seen = s.seen
         # all rows share prompt_len (callers pass B=1); generated tokens
         # land at prompt_len + step, overwriting stale pad cache slots
         pos = prompt_len[0] + s.step
         emb = params["tok_emb"][tok[:, None]].astype(dtype)
         nxt, cache = lm_step(params, cfg, emb, pos, s.cache)
         return S(s.step + 1, tokens, cache, nxt[:, 0], sum_lp, length,
-                 s.finished | is_eos, rng)
+                 s.finished | is_eos, rng, new_seen)
 
     f = jax.lax.while_loop(cond, body, state)
     avg_lp = f.sum_lp / (f.length.astype(jnp.float32) + 1.0)

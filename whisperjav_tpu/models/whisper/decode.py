@@ -52,6 +52,9 @@ class DecodeOptions:
     max_initial_timestamp: float = 1.0
     suppress_blank: bool = True
     suppress_tokens: Tuple[int, ...] = DEFAULT_NONSPEECH_TOKENS
+    # id of the GPT-2 BPE " " token in the DECODING id space; differs
+    # from 220 only under a sliced vocab (vocab_subset.py remaps it)
+    blank_token: int = _BLANK_TOKEN
     repetition_penalty: float = 1.0
     # ban tokens completing an already-seen n-gram (0 = off; the
     # reference presets all run 3 — faster_whisper.py:265,305,345)
@@ -127,6 +130,13 @@ class _State(NamedTuple):
     penult_was_ts: jax.Array
     max_ts: jax.Array        # (B,) highest emitted timestamp id
     rng: jax.Array
+    # (B, V) bool: token ids emitted so far (repetition-penalty
+    # membership). Carried INCREMENTALLY — one (B, V) one-hot OR per
+    # step — instead of rebuilding membership from the token buffer,
+    # which is a (B, total_len, V) broadcast-compare every step
+    # (~560M bool lanes at B=24 large-v2). (B, 1) dummy when the
+    # penalty is off.
+    seen: jax.Array
 
 
 def _apply_logit_rules(logits, state, config: WhisperConfig,
@@ -138,7 +148,7 @@ def _apply_logit_rules(logits, state, config: WhisperConfig,
 
     if options.suppress_blank:
         first_mask = jnp.zeros((v,), jnp.float32)
-        first_mask = first_mask.at[_BLANK_TOKEN].set(-jnp.inf)
+        first_mask = first_mask.at[options.blank_token].set(-jnp.inf)
         first_mask = first_mask.at[config.eot].set(-jnp.inf)
         logits = jnp.where(is_first, logits + first_mask[None, :], logits)
 
@@ -149,13 +159,8 @@ def _apply_logit_rules(logits, state, config: WhisperConfig,
         # several ms/step (measured ~11% RTF for the same-shaped n-gram
         # scatter; ADR-002), while the compare+any fuses on the VPU.
         penalty = options.repetition_penalty
-        positions = jnp.arange(state.tokens.shape[1])
-        valid = (positions[None, :] >= prompt_len) & (
-            positions[None, :] < prompt_len + state.step)
         idx = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
-        seen = jnp.any((state.tokens[:, :, None] == idx[:, None, :])
-                       & valid[:, :, None], axis=1)
-        seen &= idx != config.eot
+        seen = state.seen & (idx != config.eot)
         penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
         logits = jnp.where(seen, penalized, logits)
 
@@ -268,6 +273,9 @@ def _greedy_loop(params: Params, config: WhisperConfig,
         penult_was_ts=jnp.ones((b,), jnp.bool_),
         max_ts=jnp.full((b,), config.timestamp_begin, jnp.int32),
         rng=rng,
+        seen=jnp.zeros(
+            (b, config.n_vocab if options.repetition_penalty != 1.0 else 1),
+            jnp.bool_),
     )
 
     def cond(s: _State):
@@ -299,6 +307,13 @@ def _greedy_loop(params: Params, config: WhisperConfig,
         is_ts = token >= config.timestamp_begin
         max_ts = jnp.where(is_ts, jnp.maximum(s.max_ts, token), s.max_ts)
 
+        if options.repetition_penalty != 1.0:
+            vid = jax.lax.broadcasted_iota(
+                jnp.int32, (b, config.n_vocab), 1)
+            seen = s.seen | (vid == token[:, None])
+        else:
+            seen = s.seen
+
         next_logits, cache = decode_step(
             params, config, token[:, None], pos, s.cache, cross)
 
@@ -309,7 +324,7 @@ def _greedy_loop(params: Params, config: WhisperConfig,
             last_was_ts=jnp.where(s.finished, s.last_was_ts, is_ts),
             penult_was_ts=jnp.where(s.finished, s.penult_was_ts,
                                     s.last_was_ts),
-            max_ts=max_ts, rng=rng,
+            max_ts=max_ts, rng=rng, seen=seen,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -449,6 +464,9 @@ class _BeamState(NamedTuple):
     last_was_ts: jax.Array
     penult_was_ts: jax.Array
     max_ts: jax.Array
+    # (B*k, V) incremental repetition-penalty membership (see _State.seen);
+    # reordered by beam-parent gather alongside the caches
+    seen: jax.Array
     # finished-hypothesis pool (patience semantics): (B, n_fin, …)
     pool_tokens: jax.Array
     pool_score: jax.Array    # length-normalized, -inf = empty slot
@@ -498,6 +516,9 @@ def _beam_loop(params: Params, config: WhisperConfig, options: DecodeOptions,
         last_was_ts=jnp.zeros((bk,), jnp.bool_),
         penult_was_ts=jnp.ones((bk,), jnp.bool_),
         max_ts=jnp.full((bk,), config.timestamp_begin, jnp.int32),
+        seen=jnp.zeros(
+            (bk, v if options.repetition_penalty != 1.0 else 1),
+            jnp.bool_),
         pool_tokens=jnp.zeros((b, n_fin, total_len), jnp.int32),
         pool_score=jnp.full((b, n_fin), -jnp.inf, jnp.float32),
         pool_sum_lp=jnp.zeros((b, n_fin), jnp.float32),
@@ -515,7 +536,7 @@ def _beam_loop(params: Params, config: WhisperConfig, options: DecodeOptions,
                         finished=jnp.zeros((bk,), jnp.bool_),
                         last_was_ts=s.last_was_ts,
                         penult_was_ts=s.penult_was_ts, max_ts=s.max_ts,
-                        rng=None)
+                        rng=None, seen=s.seen)
         logits = _apply_logit_rules(s.cur_logits, pseudo, config, options,
                                     static_mask, prompt_len)
         lp = jax.nn.log_softmax(logits, axis=-1)          # (B*k, V)
@@ -582,6 +603,13 @@ def _beam_loop(params: Params, config: WhisperConfig, options: DecodeOptions,
         is_ts = tok_flat >= config.timestamp_begin
         new_max_ts = jnp.where(is_ts, jnp.maximum(max_ts, tok_flat), max_ts)
 
+        if options.repetition_penalty != 1.0:
+            vid = jax.lax.broadcasted_iota(jnp.int32, (bk, v), 1)
+            seen = jnp.take(s.seen, gidx, axis=0) | (
+                vid == tok_flat[:, None])
+        else:
+            seen = s.seen
+
         next_logits, cache_ = decode_step(
             params, config, tok_flat[:, None], pos, cache_, cross)
 
@@ -590,7 +618,7 @@ def _beam_loop(params: Params, config: WhisperConfig, options: DecodeOptions,
             cur_logits=next_logits[:, 0], cum_lp=sel_scores,
             length=length,
             last_was_ts=is_ts, penult_was_ts=last_was_ts,
-            max_ts=new_max_ts,
+            max_ts=new_max_ts, seen=seen,
             pool_tokens=pool_tokens, pool_score=top_scores,
             pool_sum_lp=pool_sum_lp, pool_len=pool_len,
         )

@@ -177,6 +177,14 @@ class QwenGenerator:
             # (bitwise identical — models/qwen/model.py:fuse_lm_qkv)
             from whisperjav_tpu.models.qwen.model import fuse_lm_qkv
             self._params = fuse_lm_qkv(self._params)
+        if os.environ.get("WJAV_QWEN_INT8", "0") == "1":
+            # halves the per-step LM weight + head HBM stream (opt-in;
+            # quality A/B with real weights before production use)
+            import jax
+            from whisperjav_tpu.models.qwen.model import (
+                quantize_lm_weights,
+            )
+            self._params = jax.jit(quantize_lm_weights)(self._params)
 
     def unload(self) -> None:
         self._params = None   # API-compat hook; XLA manages HBM
@@ -224,6 +232,26 @@ class QwenGenerator:
         # resident LM caches ever OOM a config).
         import os
         ahead_on = os.environ.get("WJAV_GENERATE_AHEAD", "1") != "0"
+        # double-residency guard: generate-ahead keeps TWO in-flight
+        # generates (two LM caches + logits workspace) resident. Estimate
+        # the pair's cache bytes and fall back to serial drains when they
+        # would crowd a 16 GB-class chip (same failure mode that made
+        # whisper decode-ahead infeasible at large shapes — ADR-002).
+        cfg = self.cfg
+        t_max = (cfg.audio_tokens_for(
+            ((max_len // 160 + cfg.mel_multiple - 1) // cfg.mel_multiple)
+            * cfg.mel_multiple) + budget + 64)
+        kv_d = cfg.n_kv_heads * cfg.head_dim
+        pair_cache_gb = (2 * 2 * 2 * cfg.n_layers * self.batch_size
+                         * t_max * kv_d) / 1e9   # 2 inflight × k+v × bf16
+        limit_gb = float(os.environ.get("WJAV_GENERATE_AHEAD_GB", "6"))
+        if ahead_on and pair_cache_gb > limit_gb:
+            logger.warning(
+                "generate-ahead disabled: two in-flight LM caches ≈ "
+                "%.1f GB > %.1f GB budget (batch %d, t_max %d); serial "
+                "drains (override with WJAV_GENERATE_AHEAD_GB)",
+                pair_cache_gb, limit_gb, self.batch_size, t_max)
+            ahead_on = False
 
         def _drain(start: int, n: int, res) -> None:
             toks = np.asarray(res.tokens)

@@ -69,6 +69,7 @@ class TranscriptionEngine:
         prompt_tokens: Tuple[int, ...] = (),
         word_timestamps: bool = False,
         int8_weights: bool = False,
+        vocab_subset=None,   # kept text-token ids (< eot), full-vocab space
     ):
         self.config = config
         self.options = options
@@ -78,6 +79,26 @@ class TranscriptionEngine:
         self.word_timestamps = word_timestamps
         self.tokenizer = tokenizer or WhisperTokenizer(config)
         self.compute_dtype = compute_dtype
+        # vocab-sliced decoding (models/whisper/vocab_subset.py): decode
+        # in subset id space against a sliced lm head; map emitted
+        # tokens back to full-vocab ids on-device so every downstream
+        # consumer (gates, tokenizer, word alignment) sees full ids
+        self._vocab = None
+        if vocab_subset is not None:
+            from whisperjav_tpu.models.whisper.vocab_subset import (
+                VocabSubset,
+            )
+            self._vocab = VocabSubset(config, vocab_subset)
+            options = self._vocab.remap_options(options)
+            self.options = options
+            if prompt_tokens:
+                sub_prompt = self._vocab.to_subset(prompt_tokens)
+                if len(sub_prompt) != len(prompt_tokens):
+                    logger.warning(
+                        "vocab slice: %d prompt token(s) outside the "
+                        "subset were dropped",
+                        len(prompt_tokens) - len(sub_prompt))
+                prompt_tokens = sub_prompt
         # Weight preparation (dtype cast + optional int8 quantization) is
         # ONE jitted program: per-leaf eager dispatch pays a tunnel round
         # trip per op, and inspecting dtypes via np.asarray() downloaded
@@ -86,6 +107,9 @@ class TranscriptionEngine:
         import os
         fuse_qkv = os.environ.get("WJAV_FUSE_QKV", "1") != "0"
 
+        sub_ids = (jnp.asarray(self._vocab.sub_ids)
+                   if self._vocab is not None else None)
+
         def _prepare(tree):
             def cast(x):
                 if jnp.issubdtype(x.dtype, jnp.floating):
@@ -93,6 +117,12 @@ class TranscriptionEngine:
                 return x
 
             tree = jax.tree.map(cast, tree)
+            if sub_ids is not None:
+                # slice the tied embedding/lm-head rows BEFORE any
+                # quantization so lm_head_q is built at subset size
+                dec = dict(tree["decoder"])
+                dec["tok_emb"] = dec["tok_emb"][sub_ids]
+                tree = {**tree, "decoder": dec}
             if fuse_qkv:
                 # one (d, 3d) q/k/v matmul per decoder layer per step
                 # instead of three kernels — bitwise identical
@@ -129,15 +159,23 @@ class TranscriptionEngine:
             return encode(params, config_, mel.astype(compute_dtype))
 
         prompt_ = tuple(prompt_tokens)
+        dec_config_ = (self._vocab.config if self._vocab is not None
+                       else config)
+
+        def _to_full(result):
+            if sub_ids is None:
+                return result
+            return result._replace(tokens=sub_ids[result.tokens])
 
         def _decode(params, xa, temperature, rng, opts):
-            return decode_greedy(params, config_, xa, opts,
-                                 prompt=prompt_,
-                                 temperature=temperature, rng=rng)
+            return _to_full(decode_greedy(params, dec_config_, xa, opts,
+                                          prompt=prompt_,
+                                          temperature=temperature, rng=rng))
 
         def _decode_beam(params, xa, opts):
             from whisperjav_tpu.models.whisper.decode import decode_beam
-            return decode_beam(params, config_, xa, opts, prompt=prompt_)
+            return _to_full(decode_beam(params, dec_config_, xa, opts,
+                                        prompt=prompt_))
 
         if mesh is not None:
             repl = NamedSharding(mesh, P())
@@ -383,14 +421,27 @@ class TranscriptionEngine:
         segment's timestamp-token bounds ±0.5 s (attention alignment
         refines, never relocates)."""
         from whisperjav_tpu.models.whisper.word_align import word_timestamps
+        align_config, align_tok = self.config, self.tokenizer
+        if self._vocab is not None:
+            # the teacher-forced pass embeds via the SLICED table, so it
+            # needs subset-space ids + the sliced config; word text still
+            # decodes from full ids through the adapter
+            from whisperjav_tpu.models.whisper.vocab_subset import (
+                SubsetTokenizerAdapter,
+            )
+            align_config = self._vocab.config
+            align_tok = SubsetTokenizerAdapter(self._vocab, self.tokenizer)
         for b in range(batch.n_valid):
             segs = out[b]
             if not segs:
                 continue
             w = batch.windows[b]
+            row = tokens[b]
+            if self._vocab is not None:
+                row = np.asarray(self._vocab.to_subset(row), np.int32)
             spans = word_timestamps(
-                self.params, self.config, xa[b:b + 1], tokens[b],
-                tokenizer=self.tokenizer, audio_duration=w.duration)
+                self.params, align_config, xa[b:b + 1], row,
+                tokenizer=align_tok, audio_duration=w.duration)
             if not spans:
                 continue
             si = 0

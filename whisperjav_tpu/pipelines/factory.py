@@ -161,12 +161,33 @@ def build_pipeline(
         if not tokenizer.is_real:
             logger.warning("--prompt set without a real tokenizer; prompt "
                            "conditioning uses fallback token ids")
+    # WJAV_VOCAB_SLICE=ja derives the JA-plausible text-token subset
+    # from a real tokenizer (sliced lm head + logit rules — see
+    # models/whisper/vocab_subset.py); =<int> is the synthetic
+    # measurement subset. Unset/0 = full vocab.
+    vocab_subset = None
+    _vs = os.environ.get("WJAV_VOCAB_SLICE", "")
+    if _vs == "ja":
+        from whisperjav_tpu.models.whisper.vocab_subset import ja_text_ids
+        vocab_subset = ja_text_ids(tokenizer, model_config)
+        if vocab_subset is None:
+            logger.warning("WJAV_VOCAB_SLICE=ja needs a real tokenizer "
+                           "(checkpoint vocab); decoding the full vocab")
+        else:
+            logger.info("vocab slice: %d/%d text ids kept",
+                        len(vocab_subset), model_config.eot)
+    elif _vs.isdigit() and int(_vs) > 0:
+        from whisperjav_tpu.models.whisper.vocab_subset import (
+            synthetic_text_ids,
+        )
+        vocab_subset = synthetic_text_ids(model_config, int(_vs))
     engine = TranscriptionEngine(
         model_config, params, options=options, thresholds=thresholds,
         batch_size=cfg.batch_size, mesh=mesh, tokenizer=tokenizer,
         prompt_tokens=prompt_tokens,
         word_timestamps=getattr(cfg, "word_timestamps", False),
         int8_weights=getattr(cfg, "int8_weights", False),
+        vocab_subset=vocab_subset,
     )
     vad_kwargs = dict(cfg.vad_kwargs)
     if cfg.mode.vad_backend == "energy":

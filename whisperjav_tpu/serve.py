@@ -225,6 +225,10 @@ class Handler(BaseHTTPRequestHandler):
 
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
+    from whisperjav_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+    )
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser(prog="whisperjav-serve")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8478)
