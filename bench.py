@@ -312,16 +312,19 @@ def child():
                                                     "0")))
         thresholds = QualityThresholds(temperatures=(0.0,))
         batch = BATCH or 64
-    # WJAV_VOCAB_SLICE=<n_text>: decode against a sliced lm head
+    # WJAV_VOCAB_SLICE=<n_text|ja>: decode against a sliced lm head
     # (vocab_subset.py) — cost depends only on |subset|, so the
-    # measurement subset is synthetic (no tokenizer needed)
+    # measurement subset is synthetic (no tokenizer needed); "ja" uses
+    # the ~16k size a JA-plausible slice of the multilingual vocab has
+    # (vocab_subset.ja_text_ids with a real tokenizer)
     vocab_subset = None
     vs = os.environ.get("WJAV_VOCAB_SLICE", "")
     if vs:
         from whisperjav_tpu.models.whisper.vocab_subset import (
             synthetic_text_ids,
         )
-        vocab_subset = synthetic_text_ids(config, int(vs))
+        n_text = 16384 if vs == "ja" else int(vs)
+        vocab_subset = synthetic_text_ids(config, n_text)
         _progress(f"vocab slice: {len(vocab_subset)} text ids kept")
     engine = TranscriptionEngine(
         config, params, options=options, thresholds=thresholds,

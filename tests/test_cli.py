@@ -358,6 +358,15 @@ def test_dot_overrides_unknown_key_raises():
         apply_dot_overrides(cfg, {"nope": 1})
 
 
+def test_vocab_slice_reaches_config():
+    from whisperjav_tpu.config.presets import resolve_pipeline_config
+    assert resolve_pipeline_config().vocab_slice is None
+    cfg = resolve_pipeline_config(vocab_slice="ja")
+    assert cfg.vocab_slice == "ja"
+    cfg = resolve_pipeline_config(vocab_slice=16384)
+    assert cfg.vocab_slice == "16384"
+
+
 @pytest.mark.slow
 def test_speech_pad_ms_maps_to_vad_kwargs(tmp_path, tiny_loader, monkeypatch):
     seen = {}

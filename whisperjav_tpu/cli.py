@@ -133,6 +133,12 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--word-timestamps", action="store_true",
                    help="refine cue boundaries via cross-attention word "
                         "alignment (one extra forward pass per batch)")
+    p.add_argument("--vocab-slice", default=None, metavar="ja|N",
+                   help="decode against a language-plausible lm-head "
+                        "slice ('ja' derives it from the checkpoint "
+                        "tokenizer; an integer is a synthetic size). "
+                        "Shrinks every (batch, vocab) logit rule ~3x; "
+                        "restricts the emit set to the slice")
     p.add_argument("--no-sanitize", action="store_true",
                    help="skip subtitle sanitization")
     p.add_argument("--postprocess-preset", "--qwen-postprocess-preset",
@@ -718,6 +724,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         pack_windows=not args.no_pack,
         word_timestamps=args.word_timestamps,
         int8_weights=args.int8_weights,
+        vocab_slice=args.vocab_slice,
         enhance_for_vad=args.enhance_for_vad,
         keep_intermediates=args.keep_temp,
         output_format=output_format,

@@ -123,6 +123,12 @@ class PipelineConfig:
     pack_windows: bool = True
     word_timestamps: bool = False
     int8_weights: bool = False
+    # decode against a language-plausible lm-head slice
+    # (models/whisper/vocab_subset.py): "ja" derives the subset from the
+    # checkpoint tokenizer, an int string is a synthetic size. Opt-in —
+    # it restricts the emit set (a behavior change, measured +11%
+    # preset-decode RTF at a 16k subset, docs/ADR-002 round 4)
+    vocab_slice: Optional[str] = None
     # dual-track: enhanced audio drives VAD only, ASR decodes the raw track
     # (reference: --enhance-for-vad, main.py:551,1056-1057)
     enhance_for_vad: bool = False
@@ -191,6 +197,8 @@ def resolve_pipeline_config(
         cfg.word_timestamps = True
     if clean.get("int8_weights"):
         cfg.int8_weights = True
+    if "vocab_slice" in clean:
+        cfg.vocab_slice = str(clean["vocab_slice"])
     if clean.get("enhance_for_vad"):
         cfg.enhance_for_vad = True
     if clean.get("keep_intermediates"):

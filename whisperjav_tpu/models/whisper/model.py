@@ -56,6 +56,26 @@ _SCAN_UNROLL = max(1, int(os.environ.get("WJAV_SCAN_UNROLL", "1")))
 # `pos` is masked), so probabilities are identical.
 _COLUMN_CACHE = os.environ.get("WJAV_COLUMN_CACHE", "1") != "0"
 
+
+def _parse_fuse(v: str) -> frozenset:
+    v = v.strip().lower()
+    if v in ("", "0"):
+        return frozenset()
+    if v in ("1", "all"):
+        return frozenset({"self", "cross", "mlp"})
+    return frozenset(p.strip() for p in v.split(",") if p.strip())
+
+
+# fused per-layer pallas decode kernels (ops/pallas/fused_decode.py):
+# collapse each decoder layer's ~20 small XLA ops at q_len == 1 into up
+# to three launches (self-attention block / cross-attention block /
+# MLP block) — the round-4 lever against the measured ~0.9 ms/layer
+# scheduling gap (docs/ADR-002 roofline). Comma subset for attribution
+# A/Bs: WJAV_PALLAS_FUSE=cross | self,mlp | all. Requires the
+# production representation (column-cache, fused-QKV int8 weights, int8
+# cross-KV, greedy/no beam folding); silently falls back otherwise.
+_PALLAS_FUSE = _parse_fuse(os.environ.get("WJAV_PALLAS_FUSE", ""))
+
 Params = Dict[str, Any]
 
 
@@ -581,7 +601,118 @@ def decode_hidden(
                   # query rows == cross-KV rows (decode_beam shares one
                   # cross-KV copy across k beams — see cross_attention)
                   and cross.k.shape[1] == b)
-    if use_pallas:
+    blocks = dec["blocks"]
+    use_fused = (_PALLAS_FUSE and q_len == 1 and _COLUMN_CACHE
+                 and not use_pallas
+                 and cross.k.dtype == jnp.int8
+                 and cross.k.shape[1] == b
+                 and all(isinstance(blocks.get(n), dict)
+                         for n in ("wqkv", "wo", "cwq", "cwo",
+                                   "w1", "w2")))
+    if use_fused:
+        from whisperjav_tpu.ops.pallas import fused_decode as _fd
+        interp = jax.default_backend() == "cpu"
+        n_layers = cross.k.shape[0]
+        nh = config.n_text_head
+        d_m = config.n_text_state
+        # kernel-native flat layouts of the stacked cross K/V + scales;
+        # these reshapes are layout no-ops on the persistent buffers
+        ckf = cross.k.reshape(n_layers, b, -1, cross.k.shape[-1])
+        cvf = cross.v.reshape(n_layers, b, -1, cross.v.shape[-1])
+        ksf = cross.k_scale.reshape(n_layers, b, nh)
+        vsf = cross.v_scale.reshape(n_layers, b, nh)
+        col_bias = jnp.where(k_idx[:1] < pos, 0.0, -jnp.inf)[None, None]
+
+        def body(h2, xs):
+            # non-fused sub-blocks consume the per-layer xs slices
+            # (layer_p / ck / cv / sk / sv); fused ones read the
+            # loop-invariant stacked arrays via the kernels' layer
+            # index_map. Unused xs leaves are dead-code-eliminated.
+            layer_p, l_idx, ck, cv, cks, cvs, sk, sv = xs
+            if "self" in _PALLAS_FUSE:
+                h2, kc2, vc2 = _fd.self_block_stacked(
+                    h2, blocks["ln1_s"], blocks["ln1_b"],
+                    blocks["wqkv"], blocks["bqkv"],
+                    blocks["wo"], blocks["bo"],
+                    cache.k, cache.v, l_idx, pos, nh, interpret=interp)
+            else:
+                # XLA column-mode self-attention (same math as
+                # _decoder_block(column_mode=True) at q_len == 1)
+                x3 = h2[:, None]
+                hh = layer_norm(x3, layer_p["ln1_s"], layer_p["ln1_b"])
+                qkv = dense(hh, layer_p["wqkv"], layer_p["bqkv"])
+                q3 = _split_heads(qkv[..., :d_m], nh)
+                k_new = qkv[..., d_m:2 * d_m]
+                v_new = qkv[..., 2 * d_m:]
+                hd_ = d_m // nh
+                sc = hd_ ** -0.25
+                kc_ = _split_heads(sk.astype(q3.dtype), nh)
+                vc_ = _split_heads(sv.astype(q3.dtype), nh)
+                kn = _split_heads(k_new, nh)
+                vn = _split_heads(v_new, nh)
+                lg_c = jnp.einsum("bqhd,bkhd->bhqk", q3 * sc, kc_ * sc,
+                                  preferred_element_type=jnp.float32)
+                lg_c = lg_c + col_bias
+                lg_n = jnp.einsum("bqhd,bqhd->bhq", q3 * sc, kn * sc,
+                                  preferred_element_type=jnp.float32
+                                  )[..., None]
+                w = jax.nn.softmax(
+                    jnp.concatenate([lg_c, lg_n], axis=-1).astype(
+                        jnp.float32), axis=-1)
+                a3 = jnp.einsum("bhqk,bkhd->bqhd",
+                                w[..., :-1].astype(q3.dtype), vc_,
+                                preferred_element_type=jnp.float32
+                                ).astype(q3.dtype)
+                a3 = a3 + jnp.swapaxes(w[..., -1:].astype(q3.dtype),
+                                       1, 2) * vn
+                x3 = x3 + dense(a3.reshape(b, 1, d_m),
+                                layer_p["wo"], layer_p["bo"])
+                h2 = x3[:, 0]
+                kc2 = k_new[:, 0].astype(cache.k.dtype)
+                vc2 = v_new[:, 0].astype(cache.v.dtype)
+            if "cross" in _PALLAS_FUSE:
+                h2 = _fd.cross_block_stacked(
+                    h2, blocks["lnx_s"], blocks["lnx_b"],
+                    blocks["cwq"], blocks["cbq"],
+                    blocks["cwo"], blocks["cbo"],
+                    ckf, cvf, ksf, vsf, l_idx, nh, interpret=interp)
+            else:
+                x3 = h2[:, None]
+                hh = layer_norm(x3, layer_p["lnx_s"], layer_p["lnx_b"])
+                cq = _split_heads(dense(hh, layer_p["cwq"],
+                                        layer_p["cbq"]), nh)
+                a3 = cross_attention(cq, ck, cv, cks, cvs)
+                x3 = x3 + dense(a3.reshape(b, 1, d_m),
+                                layer_p["cwo"], layer_p["cbo"])
+                h2 = x3[:, 0]
+            if "mlp" in _PALLAS_FUSE:
+                h2 = _fd.mlp_block_stacked(
+                    h2, blocks["ln2_s"], blocks["ln2_b"],
+                    blocks["w1"], blocks["b1"],
+                    blocks["w2"], blocks["b2"], l_idx, interpret=interp)
+            else:
+                x3 = h2[:, None]
+                hh = layer_norm(x3, layer_p["ln2_s"], layer_p["ln2_b"])
+                x3 = x3 + dense(
+                    jax.nn.gelu(dense(hh, layer_p["w1"], layer_p["b1"]),
+                                approximate=False),
+                    layer_p["w2"], layer_p["b2"])
+                h2 = x3[:, 0]
+            return h2, (kc2, vc2)
+
+        h2, (k_cols, v_cols) = jax.lax.scan(
+            body, x[:, 0],
+            (blocks, jnp.arange(n_layers), cross.k, cross.v,
+             cross.k_scale, cross.v_scale, cache.k, cache.v),
+            unroll=_SCAN_UNROLL)
+        x = h2[:, None]
+        new_k = jax.lax.dynamic_update_slice(
+            cache.k, k_cols[:, :, None].astype(cache.k.dtype),
+            (0, 0, pos, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            cache.v, v_cols[:, :, None].astype(cache.v.dtype),
+            (0, 0, pos, 0))
+    elif use_pallas:
         # K/V stay loop-invariant (closed over); only the layer index
         # is scanned, so the pallas kernel's BlockSpec selects the layer
         # without XLA materializing a per-layer copy

@@ -161,12 +161,13 @@ def build_pipeline(
         if not tokenizer.is_real:
             logger.warning("--prompt set without a real tokenizer; prompt "
                            "conditioning uses fallback token ids")
-    # WJAV_VOCAB_SLICE=ja derives the JA-plausible text-token subset
-    # from a real tokenizer (sliced lm head + logit rules — see
-    # models/whisper/vocab_subset.py); =<int> is the synthetic
-    # measurement subset. Unset/0 = full vocab.
+    # --vocab-slice / WJAV_VOCAB_SLICE: "ja" derives the JA-plausible
+    # text-token subset from a real tokenizer (sliced lm head + logit
+    # rules — see models/whisper/vocab_subset.py); <int> is the
+    # synthetic measurement subset. Unset/0 = full vocab.
     vocab_subset = None
-    _vs = os.environ.get("WJAV_VOCAB_SLICE", "")
+    _vs = (getattr(cfg, "vocab_slice", None)
+           or os.environ.get("WJAV_VOCAB_SLICE", ""))
     if _vs == "ja":
         from whisperjav_tpu.models.whisper.vocab_subset import ja_text_ids
         vocab_subset = ja_text_ids(tokenizer, model_config)
