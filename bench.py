@@ -521,7 +521,9 @@ def _qwen_loop(budget: float):
     _progress(f"qwen params initialized ({cfg.name})")
     if os.environ.get("WJAV_FUSE_QKV", "1") != "0":
         params = fuse_lm_qkv(params)
-    if os.environ.get("WJAV_QWEN_INT8", "0") == "1":
+    if os.environ.get("WJAV_QWEN_INT8", "1") != "0":
+        # +22% RTF measured 2026-08-19 (135.8x vs 111.7x) — default ON
+        # to match the generator's production config; =0 ablates to bf16
         from whisperjav_tpu.models.qwen.model import quantize_lm_weights
         params = jax.jit(quantize_lm_weights)(params)
         _progress("qwen int8 LM weights")

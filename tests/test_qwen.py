@@ -178,3 +178,40 @@ def test_fused_lm_qkv_exact_parity(qwen_model):
     np.testing.assert_allclose(np.asarray(a.avg_logprob),
                                np.asarray(b.avg_logprob),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_int8_lm_weights_track_fp(qwen_model):
+    """int8 LM weights+head (quantize_lm_weights) stay close to the fp
+    generate on a tiny model — same lever and tolerance class as
+    whisper's int8 decoder weights (test_decode.py). Measured on
+    hardware 2026-08-19: +22% RTF (135.8x vs 111.7x, docs/ADR-002),
+    default ON in the generator/bench (WJAV_QWEN_INT8=0 ablates)."""
+    from whisperjav_tpu.models.qwen.model import (
+        fuse_lm_qkv, quantize_lm_weights,
+    )
+    fused = fuse_lm_qkv(qwen_model)
+    q = quantize_lm_weights(fused)
+    assert "lm_head_q" not in fused and "lm_head" in fused
+    assert isinstance(q["blocks"]["wqkv"], dict)
+    assert q["blocks"]["wqkv"]["q"].dtype == jnp.int8
+    assert "lm_head" not in q and q["lm_head_q"]["q"].dtype == jnp.int8
+    # idempotent: already-quantized leaves are skipped
+    q2 = quantize_lm_weights(q)
+    assert q2["blocks"]["wqkv"] is q["blocks"]["wqkv"]
+
+    # teacher-forced single-pass logits (no free-running compounding —
+    # random-init logits are near-flat, so sequential token agreement
+    # only measures the first tie-flip, not quantization error)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 10)
+                                   ).astype(np.int32))
+    cache_a = LMCache.zeros(CFG, 2, 10, jnp.float32)
+    cache_b = LMCache.zeros(CFG, 2, 10, jnp.float32)
+    la, _ = lm_step(fused, CFG, fused["tok_emb"][ids], 0, cache_a)
+    lb, _ = lm_step(q, CFG, q["tok_emb"][ids], 0, cache_b)
+    la, lb = np.asarray(la, np.float32), np.asarray(lb, np.float32)
+    cos = np.sum(la * lb, -1) / (
+        np.linalg.norm(la, axis=-1) * np.linalg.norm(lb, axis=-1))
+    assert float(cos.min()) > 0.99, f"int8 logits diverged: {cos.min()}"
+    top1 = float(np.mean(la.argmax(-1) == lb.argmax(-1)))
+    assert top1 > 0.7, f"int8 top-1 agreement {top1:.2f}"

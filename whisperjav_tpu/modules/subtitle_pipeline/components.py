@@ -177,9 +177,11 @@ class QwenGenerator:
             # (bitwise identical — models/qwen/model.py:fuse_lm_qkv)
             from whisperjav_tpu.models.qwen.model import fuse_lm_qkv
             self._params = fuse_lm_qkv(self._params)
-        if os.environ.get("WJAV_QWEN_INT8", "0") == "1":
-            # halves the per-step LM weight + head HBM stream (opt-in;
-            # quality A/B with real weights before production use)
+        if os.environ.get("WJAV_QWEN_INT8", "1") != "0":
+            # halves the per-step LM weight + head HBM stream — measured
+            # +22% RTF on-chip (135.8x vs 111.7x, docs/ADR-002 round-4).
+            # Default ON like whisper's int8 decoder weights;
+            # WJAV_QWEN_INT8=0 is the bf16 ablation/quality fallback.
             import jax
             from whisperjav_tpu.models.qwen.model import (
                 quantize_lm_weights,
