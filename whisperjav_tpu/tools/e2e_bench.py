@@ -139,7 +139,10 @@ def main(argv=None) -> int:
     ap.add_argument("--wav", default=None,
                     help="reuse an existing WAV instead of synthesizing")
     ap.add_argument("--budget-s", type=float, default=3600.0)
-    ap.add_argument("--stall-s", type=float, default=600.0)
+    # a fresh-cache turbo beam-2 compile exceeds 600 s (measured
+    # 2026-08-19: the 120-min run was watchdog-killed mid-first-compile)
+    # — the post-claim stall allowance must exceed the worst compile
+    ap.add_argument("--stall-s", type=float, default=1500.0)
     ap.add_argument("--keep", action="store_true",
                     help="keep the synthesized WAV + outputs")
     ap.add_argument("extra", nargs="*", help="extra CLI args after --")
