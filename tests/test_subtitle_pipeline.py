@@ -253,3 +253,117 @@ def test_regroup_jav_full_algebra():
                          RegroupConfig(gap_split_s=10.0, merge_gap_s=0.0))
     assert all(c.duration <= 8.0 + 3.0 for c in cues)
     assert len(cues) >= 2
+
+
+class TestCohereStyleGenerator:
+    """The experimental `cohere` generator slot (reference:
+    generators/cohere.py — text-only LALM, chunk reassembly, greedy,
+    context ignored, chain-aware load diagnostics)."""
+
+    def _gen(self, chunk_s=2.0, overlap_s=0.5):
+        from whisperjav_tpu.modules.subtitle_pipeline.components import (
+            CohereStyleGenerator,
+        )
+        g = CohereStyleGenerator(chunk_s=chunk_s, overlap_s=overlap_s)
+
+        class _Inner:
+            checkpoint = None
+
+            def __init__(self):
+                self.calls = []
+                self._params = object()
+
+            def load(self): ...
+
+            def unload(self): self._params = None
+
+            def generate_batch(self, clips, sr):
+                self.calls.append([len(c) for c in clips])
+                return [TranscriptionResult(i, f"piece{i}ですよ", -0.5)
+                        for i in range(len(clips))]
+
+        g._inner = _Inner()
+        return g
+
+    def test_join_overlapped(self):
+        from whisperjav_tpu.modules.subtitle_pipeline.components import (
+            CohereStyleGenerator as G,
+        )
+        assert G._join_overlapped("", "abc") == "abc"
+        assert G._join_overlapped("abc", "") == "abc"
+        # longest suffix/prefix overlap is dropped from the second chunk
+        assert G._join_overlapped("こんにちは世界", "は世界です") \
+            == "こんにちは世界です"
+        # below the minimum overlap (3 chars) nothing is deduped
+        assert G._join_overlapped("abcd", "cdxy") == "abcdcdxy"
+
+    def test_short_clips_pass_through(self):
+        g = self._gen()
+        clips = [np.zeros(SR, np.float32), np.zeros(SR // 2, np.float32)]
+        out = g.generate_batch(clips, SR)
+        assert [r.frame_index for r in out] == [0, 1]
+        assert g._inner.calls == [[SR, SR // 2]]     # one piece per clip
+
+    def test_long_clip_chunked_and_reassembled(self):
+        g = self._gen(chunk_s=2.0, overlap_s=0.5)
+        clips = [np.zeros(5 * SR, np.float32)]       # 5 s -> 3 chunks
+        out = g.generate_batch(clips, SR)
+        assert len(out) == 1
+        assert len(g._inner.calls[0]) == 3
+        # all chunk texts contributed to the single reassembled result
+        assert "piece0" in out[0].text and "piece2" in out[0].text
+        assert out[0].avg_logprob == pytest.approx(-0.5)
+
+    def test_context_ignored(self):
+        g = self._gen()
+        out = g.generate_batch([np.zeros(SR, np.float32)], SR,
+                               contexts=["名前は太郎"])
+        assert len(out) == 1                          # no error, no effect
+
+    def test_load_error_diagnostic(self):
+        g = self._gen()
+
+        def boom():
+            try:
+                raise FileNotFoundError("model.safetensors does not exist")
+            except FileNotFoundError as e:
+                raise OSError("Can't load the model") from e
+
+        g._inner.load = boom
+        g._inner.checkpoint = "/nonexistent/ckpt"
+        with pytest.raises(RuntimeError) as ei:
+            g.load()
+        msg = str(ei.value)
+        assert "missing" in msg            # classified, actionable
+        assert "[1]" in msg                # full chain preserved
+
+    def test_factory_registration(self):
+        from whisperjav_tpu.modules.subtitle_pipeline.components import (
+            CohereStyleGenerator, create_generator,
+        )
+        assert isinstance(create_generator("cohere"), CohereStyleGenerator)
+
+    @pytest.mark.slow
+    def test_real_model_end_to_end(self):
+        """cohere slot through the full decoupled pipeline with the tiny
+        random qwen LALM — structurally valid subtitles."""
+        from whisperjav_tpu.modules.subtitle_pipeline.components import (
+            CohereStyleGenerator,
+        )
+        audio = np.concatenate([speech_like(2),
+                                np.zeros(SR // 2, np.float32),
+                                speech_like(2, 1)])
+        pipe = DecoupledSubtitlePipeline(
+            framer=VadGroupedFramer(vad_backend="energy"),
+            generator=CohereStyleGenerator(model_size="qwen3-asr-test",
+                                           batch_size=2, chunk_s=3.0),
+            cleaner=AssemblyTextCleaner(),
+            aligner=NullAligner(),
+            max_group_s=3.0,
+            hardening=HardeningConfig(TimestampMode.VAD_ONLY),
+        )
+        outputs = pipe.process_scenes([audio], SR)
+        assert len(outputs) == 1
+        dur = len(audio) / SR
+        for s in outputs[0].subtitles:
+            assert 0 <= s.start <= s.end <= dur + 1e-6

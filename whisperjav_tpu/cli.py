@@ -261,8 +261,10 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    dest="context_file", default=None,
                    help="text file whose contents become --context")
     q.add_argument("--generator", "--qwen-generator", dest="generator",
-                   default=None, choices=["qwen3", "anime-whisper"],
-                   help="decoupled-stack generator backend")
+                   default=None,
+                   choices=["qwen3", "anime-whisper", "cohere"],
+                   help="decoupled-stack generator backend (cohere = "
+                        "experimental text-only LALM slot)")
     q.add_argument("--cleaner", default=None,
                    choices=["qwen3", "assembly", "passthrough"],
                    help="decoupled-stack text cleaner backend")
@@ -1022,6 +1024,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                 wcfg.model = args.model or "small"
             generator = WhisperGenerator(
                 engine=build_engine(wcfg, checkpoint=checkpoint))
+        elif args.generator == "cohere":
+            # experimental text-only LALM slot (reference:
+            # generators/cohere.py) — greedy, context-ignoring, chunked
+            from whisperjav_tpu.modules.subtitle_pipeline.components import (
+                CohereStyleGenerator,
+            )
+            gen_kwargs.pop("repetition_penalty", None)
+            gen_kwargs.pop("context", None)
+            if "max_tokens" in gen_kwargs:
+                gen_kwargs["max_new_tokens"] = gen_kwargs.pop("max_tokens")
+            if "model_id" in gen_kwargs:
+                model_size = gen_kwargs.pop("model_id")
+            generator = CohereStyleGenerator(
+                model_size=model_size, batch_size=cfg.batch_size,
+                checkpoint=checkpoint, **gen_kwargs)
         else:
             if "model_id" in gen_kwargs:    # reference config-key spelling
                 model_size = gen_kwargs.pop("model_id")

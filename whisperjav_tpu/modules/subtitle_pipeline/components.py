@@ -319,12 +319,158 @@ class WhisperGenerator:
         return out
 
 
+class CohereStyleGenerator:
+    """Experimental LALM text generator filling the reference's ``cohere``
+    slot (reference: subtitle_pipeline/generators/cohere.py:60-725 — a
+    gated HF audio-language model used text-only, with chunked long-audio
+    reassembly and no native word timestamps).
+
+    TPU-native design: the vendor model's graph ships as
+    trust_remote_code Python inside a gated HF repo, which a hermetic
+    zero-egress build can neither fetch nor execute — so the ROLE, an
+    experimental audio-LM that emits punctuated text with no timing
+    signal and relies on the downstream ForcedAligner, is filled by the
+    in-tree Qwen audio-LM under the reference's behavioral contract:
+
+    - text-only output; ``context`` is IGNORED with a debug note
+      (reference cohere.py:617-621 — "Cohere does not accept initial
+      prompts the way Whisper does")
+    - deterministic greedy decode (the reference pins do_sample=False,
+      num_beams=1 "for determinism ... guards against generation_config
+      drift", cohere.py:652-661) — repetition_penalty 1.0, temperature 0
+    - clips longer than ``chunk_s`` decode as overlapped chunks whose
+      texts are reassembled by longest suffix/prefix overlap — the role
+      of the processor's ``audio_chunk_index`` reassembly
+      (cohere.py:597-600; it is a chunking index, NOT a timing signal)
+    - load() failures raise one actionable diagnostic built by walking
+      the exception chain (cohere.py:174-195 _walk_chain /
+      _classify_error) instead of a bare stack trace
+    """
+
+    name = "cohere"
+
+    def __init__(self, model_size: str = "qwen3-asr-test",
+                 checkpoint: Optional[str] = None, batch_size: int = 4,
+                 max_new_tokens: int = 512,
+                 chunk_s: float = 30.0, overlap_s: float = 4.0,
+                 language: str = "ja", **_ignored):
+        self.chunk_s = chunk_s
+        self.overlap_s = overlap_s
+        self.language = language
+        self._inner = QwenGenerator(
+            model_size=model_size, checkpoint=checkpoint,
+            batch_size=batch_size, repetition_penalty=1.0,
+            max_tokens=max_new_tokens)
+
+    @property
+    def is_loaded(self) -> bool:
+        return self._inner._params is not None
+
+    @staticmethod
+    def _walk_chain(exc: BaseException, max_depth: int = 8):
+        chain, seen, cur = [exc], {id(exc)}, exc
+        for _ in range(max_depth):
+            nxt = cur.__cause__ or cur.__context__
+            if nxt is None or id(nxt) in seen:
+                break
+            chain.append(nxt)
+            seen.add(id(nxt))
+            cur = nxt
+        return chain
+
+    @classmethod
+    def _format_load_error(cls, exc: Exception, checkpoint) -> str:
+        msgs = [str(e) for e in cls._walk_chain(exc)]
+        text = " ".join(msgs).lower()
+        if any(t in text for t in ("no space left", "errno 28",
+                                   "not enough space", "disk full")):
+            hint = ("disk ran out of space while reading the checkpoint; "
+                    "free space on the volume holding it and retry")
+        elif any(t in text for t in ("no such file", "not found",
+                                     "missing", "does not exist")):
+            hint = (f"checkpoint files are missing under {checkpoint!r} "
+                    "(interrupted copy?); re-download the model into a "
+                    "local directory and pass it via --checkpoint")
+        elif "safetensors" in text or "pickle" in text or "corrupt" in text:
+            hint = (f"checkpoint under {checkpoint!r} failed to parse — "
+                    "run whisperjav-verify-checkpoint on it for a "
+                    "per-tensor diagnosis")
+        else:
+            hint = "run whisperjav-verify-checkpoint for a diagnosis"
+        chain = "\n".join(f"  [{i}] {m.strip().splitlines()[0][:200]}"
+                          for i, m in enumerate(msgs))
+        return (f"Failed to load the cohere-slot audio-LM: {hint}\n"
+                f"Full error chain (most recent -> original cause):\n{chain}")
+
+    def load(self) -> None:
+        try:
+            self._inner.load()
+        except Exception as exc:
+            raise RuntimeError(
+                self._format_load_error(exc, self._inner.checkpoint)
+            ) from exc
+
+    def unload(self) -> None:
+        self._inner.unload()
+
+    @staticmethod
+    def _join_overlapped(a: str, b: str, max_overlap: int = 48) -> str:
+        """Merge chunk texts: drop b's prefix that repeats a's suffix
+        (longest match wins; the role of audio_chunk_index reassembly)."""
+        if not a:
+            return b
+        if not b:
+            return a
+        lim = min(len(a), len(b), max_overlap)
+        for k in range(lim, 2, -1):
+            if a[-k:] == b[:k]:
+                return a + b[k:]
+        return a + b
+
+    def generate_batch(self, clips, sample_rate,
+                       contexts=None) -> List[TranscriptionResult]:
+        if contexts and any(contexts):
+            logger.debug("cohere generator: context ignored (the vendor "
+                         "model accepts no initial prompt)")
+        chunk_n = int(self.chunk_s * sample_rate)
+        hop_n = chunk_n - int(self.overlap_s * sample_rate)
+        pieces: List[np.ndarray] = []
+        owner: List[int] = []
+        for ci, clip in enumerate(clips):
+            clip = np.asarray(clip, np.float32)
+            if len(clip) <= chunk_n:
+                pieces.append(clip)
+                owner.append(ci)
+                continue
+            pos = 0
+            while pos < len(clip):
+                pieces.append(clip[pos:pos + chunk_n])
+                owner.append(ci)
+                if pos + chunk_n >= len(clip):
+                    break
+                pos += hop_n
+        inner = self._inner.generate_batch(pieces, sample_rate)
+        texts = [""] * len(clips)
+        lps: List[List[float]] = [[] for _ in clips]
+        for res, ci in zip(sorted(inner, key=lambda r: r.frame_index),
+                           owner):
+            texts[ci] = self._join_overlapped(texts[ci], res.text)
+            lps[ci].append(res.avg_logprob)
+        return [
+            TranscriptionResult(ci, texts[ci],
+                                float(np.mean(lps[ci])) if lps[ci] else 0.0)
+            for ci in range(len(clips))
+        ]
+
+
 def create_generator(backend: str = "qwen3", **kwargs):
     b = (backend or "qwen3").lower()
     if b in ("qwen3", "qwen"):
         return QwenGenerator(**kwargs)
     if b in ("whisper", "anime-whisper", "anime_whisper"):
         return WhisperGenerator(**kwargs)
+    if b == "cohere":
+        return CohereStyleGenerator(**kwargs)
     logger.warning("unknown generator %r; using qwen3", backend)
     return QwenGenerator(**kwargs)
 

@@ -332,6 +332,7 @@ class TranscriptionEngine:
                          device_audio: Optional[jax.Array] = None,
                          device_xa: Optional[jax.Array] = None,
                          on_decode_dispatched=None,
+                         trace: Optional[dict] = None,
                          ) -> List[List[DecodedSegment]]:
         """Decode one padded batch with the temperature fallback ladder.
 
@@ -347,18 +348,34 @@ class TranscriptionEngine:
         batch i+1's encode so the chip rolls straight from decode(i)
         into encode(i+1) while the host drains and post-processes.
         """
+        import time as _time
         th = self.thresholds
         temps = th.temperatures
+        t0 = _time.time()
         max_dur = max((w.duration for w in batch.windows), default=30.0)
         xa = (device_xa if device_xa is not None
               else self.encode_batch(batch.audio, device_audio=device_audio,
                                      max_duration=max_dur))
+        t_enc = _time.time()
         result = self.decode_encoded(xa, temps[0], seed)
+        t_disp = _time.time()
         if on_decode_dispatched is not None:
             on_decode_dispatched()
+        t_ahead = _time.time()
         tokens = np.array(result.tokens)         # writable host copies
         avg_lp = np.array(result.avg_logprob)
         no_speech = np.array(result.no_speech_prob)
+        if trace is not None:
+            # phase walls: encode dispatch (blocks only if the upload or
+            # the encode queue is saturated), first-rung decode dispatch,
+            # encode-ahead dispatch for batch i+1, and the token drain —
+            # the drain carries the decode's actual device compute on the
+            # tunnel backend (block_until_ready does not reliably block)
+            trace.update(encode_s=t_enc - t0, dispatch_s=t_disp - t_enc,
+                         ahead_s=t_ahead - t_disp,
+                         drain_s=_time.time() - t_ahead,
+                         bucket=int(xa.shape[1]), rows=int(xa.shape[0]),
+                         rungs=1)
 
         # temperature fallback: re-decode whole batch at higher temperature,
         # adopt replacements only for rows that failed quality gates. The
@@ -368,6 +385,7 @@ class TranscriptionEngine:
         # every rung).
         prev_mean = float(np.mean(avg_lp[:batch.n_valid])) \
             if batch.n_valid else 0.0
+        t_ladder0 = _time.time()
         for t_i, temp in enumerate(temps[1:], start=1):
             failed = [b for b in range(batch.n_valid)
                       if self._row_needs_fallback(tokens[b], avg_lp[b],
@@ -386,9 +404,14 @@ class TranscriptionEngine:
                     avg_lp[b] = r_avg[b]
                     improved = True
             mean_now = float(np.mean(avg_lp[:batch.n_valid]))
+            if trace is not None:
+                trace["rungs"] = t_i + 1
             if not improved or mean_now < prev_mean + 0.02:
                 break
             prev_mean = mean_now
+        if trace is not None:
+            trace["ladder_s"] = _time.time() - t_ladder0
+            t_extract0 = _time.time()
 
         out: List[List[DecodedSegment]] = []
         for b in range(batch.n_valid):
@@ -408,6 +431,8 @@ class TranscriptionEngine:
                 s.text = self.tokenizer.decode(s.tokens)
             out.append(segs)
 
+        if trace is not None:
+            trace["extract_s"] = _time.time() - t_extract0
         if self.word_timestamps:
             self._refine_with_word_alignment(xa, tokens, batch, out)
         return out
@@ -479,14 +504,21 @@ class TranscriptionEngine:
           ``WJAV_ENCODE_AHEAD=0`` (A/B knob; also the fallback if the
           extra resident encoder output ever OOMs a config)."""
         import os
+        import time as _time
         ahead_on = os.environ.get("WJAV_ENCODE_AHEAD", "1") != "0"
+        trace_on = os.environ.get("WJAV_TRACE_BATCHES", "0") != "0"
+        self.batch_trace: List[dict] = []
         results: List[Tuple[Window, List[DecodedSegment]]] = []
         batches = list(batch_windows(windows, self.batch_size))
+        t_up0 = _time.time()
         dev = self.upload_audio(batches[0].audio) if batches else None
+        first_upload_s = _time.time() - t_up0
         xa = None
         for bi, batch in enumerate(batches):
+            t_b0 = _time.time()
             nxt = (self.upload_audio(batches[bi + 1].audio)
                    if bi + 1 < len(batches) else None)
+            t_upload = _time.time() - t_b0
             nxt_holder = {}
 
             def _encode_ahead(nxt=nxt, bi=bi, holder=nxt_holder):
@@ -498,10 +530,29 @@ class TranscriptionEngine:
                                           for w in nxt_batch.windows),
                                          default=30.0))
 
+            trace = {} if trace_on else None
             segs = self.transcribe_batch(
                 batch, seed=seed + bi * 131, device_audio=dev,
                 device_xa=xa,
-                on_decode_dispatched=_encode_ahead if ahead_on else None)
+                on_decode_dispatched=_encode_ahead if ahead_on else None,
+                trace=trace)
+            if trace is not None:
+                trace["upload_s"] = (t_upload if bi
+                                     else t_upload + first_upload_s)
+                trace["batch_s"] = _time.time() - t_b0
+                trace["audio_s"] = round(
+                    sum(w.duration for w in batch.windows), 1)
+                self.batch_trace.append(trace)
+                logger.info(
+                    "batch %d/%d: %.1fs (upload %.2f enc %.2f disp %.2f "
+                    "ahead %.2f drain %.2f ladder %.2f extract %.2f) "
+                    "rungs=%d bucket=%d rows=%d audio=%.0fs",
+                    bi + 1, len(batches), trace["batch_s"],
+                    trace["upload_s"], trace["encode_s"],
+                    trace["dispatch_s"], trace["ahead_s"], trace["drain_s"],
+                    trace.get("ladder_s", 0.0), trace.get("extract_s", 0.0),
+                    trace["rungs"], trace["bucket"], trace["rows"],
+                    trace["audio_s"])
             results.extend(zip(batch.windows, segs))
             dev = nxt
             xa = nxt_holder.get("xa")
