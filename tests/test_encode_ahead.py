@@ -77,11 +77,12 @@ def test_encode_ahead_passes_pre_encoded_batches(monkeypatch):
     orig_eb = TranscriptionEngine.encode_batch
 
     def spy_tb(self, batch, seed=0, device_audio=None, device_xa=None,
-               on_decode_dispatched=None):
+               on_decode_dispatched=None, trace=None):
         events.append(("batch", device_xa is not None))
         return orig_tb(self, batch, seed=seed, device_audio=device_audio,
                        device_xa=device_xa,
-                       on_decode_dispatched=on_decode_dispatched)
+                       on_decode_dispatched=on_decode_dispatched,
+                       trace=trace)
 
     def spy_de(self, xa, temperature=0.0, seed=0):
         events.append(("decode",))

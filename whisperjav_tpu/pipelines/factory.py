@@ -51,7 +51,12 @@ def load_model(model_name: str, checkpoint: Optional[str] = None,
         config = dataclasses.replace(config, alignment_heads=heads)
     logger.warning("no checkpoint provided — using random-init %s weights "
                    "(text output will not be meaningful)", model_name)
-    params = init_params(config, jax.random.PRNGKey(0), dtype=dtype)
+    # ONE jitted program for the whole init: eager per-leaf dispatch pays
+    # a tunnel round trip per op (~0.5 s × ~44 ops ≈ 22 s of engine
+    # startup measured on the axon backend, 2026-08-19)
+    import functools
+    params = jax.jit(functools.partial(init_params, config, dtype=dtype))(
+        jax.random.PRNGKey(0))
     return config, params
 
 

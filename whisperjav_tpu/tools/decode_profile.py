@@ -119,7 +119,7 @@ def main(argv=None) -> int:
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+                          0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass

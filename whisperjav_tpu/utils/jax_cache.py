@@ -33,7 +33,14 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None) -> bool:
         import jax
         path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # min_compile_time MUST be 0 on this backend: the axon/tunnel
+        # runtime compiles asynchronously, so jax's compile call returns
+        # in <1 s even for the 2-4 min decode programs — a nonzero
+        # threshold silently skips the cache write for exactly the
+        # executables that matter (measured 2026-08-19: 147 s
+        # first-batch drain with zero cache entries written; the tiny
+        # eager init ops ALSO each pay ~0.5 s/op × ~44 ops uncached).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         return True
     except Exception:   # cache is an optimization, never a blocker
