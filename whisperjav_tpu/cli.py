@@ -1030,8 +1030,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             from whisperjav_tpu.modules.subtitle_pipeline.components import (
                 CohereStyleGenerator,
             )
-            gen_kwargs.pop("repetition_penalty", None)
-            gen_kwargs.pop("context", None)
+            dropped = [name for key, name in
+                       (("repetition_penalty", "--qwen-repetition-penalty"),
+                        ("context", "--context/--context-file"))
+                       if gen_kwargs.pop(key, None) is not None]
+            if dropped:
+                logger.warning(
+                    "--generator cohere does not support %s; ignoring "
+                    "(the cohere slot is greedy and prompt-free — "
+                    "reference generators/cohere.py:617-661)",
+                    " and ".join(dropped))
             if "max_tokens" in gen_kwargs:
                 gen_kwargs["max_new_tokens"] = gen_kwargs.pop("max_tokens")
             if "model_id" in gen_kwargs:

@@ -178,7 +178,22 @@ def create_segmenter(backend: str = "energy", **kwargs) -> SpeechSegmenter:
             return TenJaxSegmenter(**kwargs)
         except ImportError as e:
             logger.warning("ten-jax backend unavailable (%s)", e)
-    if backend in ("silero", "silero-jax", "silero-v3", "silero-v4"):
+    if backend in ("silero", "silero-jax", "silero-v3", "silero-v4",
+                   "silero-v3.1"):
+        if backend in ("silero-v3", "silero-v3.1", "silero-v4"):
+            # The v3.1/v4 JIT graphs are NOT ported — only the v5/v6
+            # architecture is (models/vad/silero.py; supersession
+            # rationale: PARITY row 10, the reference's own F1 data
+            # shows v6.2 ≥ v3.1). Users pinning a version expecting
+            # reference behavior must hear about the substitution
+            # loudly, not get a silent different model (reference
+            # version map: backends/silero.py:79-96).
+            logger.warning(
+                "--vad-backend %s: the silero %s graph is not ported; "
+                "substituting the silero v5/v6 architecture (F1 0.654 "
+                "vs v3.1's 0.625 on the reference's GT protocol). "
+                "Pass --vad-backend silero to silence this warning.",
+                backend, backend.split("-", 1)[1])
         try:
             from whisperjav_tpu.modules.segmentation.silero_jax import (
                 SileroJaxSegmenter,

@@ -354,6 +354,19 @@ class CohereStyleGenerator:
                  max_new_tokens: int = 512,
                  chunk_s: float = 30.0, overlap_s: float = 4.0,
                  language: str = "ja", **_ignored):
+        if not chunk_s > 0:
+            raise ValueError(f"cohere generator: chunk_s must be > 0 "
+                             f"(got {chunk_s})")
+        if overlap_s < 0 or overlap_s >= chunk_s:
+            # hop = chunk - overlap drives the chunking loop; a
+            # non-positive hop would never advance (unbounded append)
+            raise ValueError(
+                f"cohere generator: overlap_s ({overlap_s}) must be in "
+                f"[0, chunk_s) — chunk_s is {chunk_s}")
+        if _ignored:
+            logger.warning(
+                "cohere generator: ignoring unsupported generator-config "
+                "key(s): %s", ", ".join(sorted(_ignored)))
         self.chunk_s = chunk_s
         self.overlap_s = overlap_s
         self.language = language

@@ -512,7 +512,12 @@ class TranscriptionEngine:
         batches = list(batch_windows(windows, self.batch_size))
         t_up0 = _time.time()
         dev = self.upload_audio(batches[0].audio) if batches else None
-        first_upload_s = _time.time() - t_up0
+        # upload_s attribution: batch i's row reports the time spent
+        # uploading batch i's OWN audio — batch 0 pays it synchronously
+        # here; later batches' uploads were dispatched during batch i-1
+        # (double buffering), so each iteration carries its upload wall
+        # forward into the NEXT trace row.
+        pending_upload_s = _time.time() - t_up0
         xa = None
         for bi, batch in enumerate(batches):
             t_b0 = _time.time()
@@ -537,8 +542,7 @@ class TranscriptionEngine:
                 on_decode_dispatched=_encode_ahead if ahead_on else None,
                 trace=trace)
             if trace is not None:
-                trace["upload_s"] = (t_upload if bi
-                                     else t_upload + first_upload_s)
+                trace["upload_s"] = pending_upload_s
                 trace["batch_s"] = _time.time() - t_b0
                 trace["audio_s"] = round(
                     sum(w.duration for w in batch.windows), 1)
@@ -556,5 +560,6 @@ class TranscriptionEngine:
             results.extend(zip(batch.windows, segs))
             dev = nxt
             xa = nxt_holder.get("xa")
+            pending_upload_s = t_upload
         results.sort(key=lambda p: (p[0].scene_idx, p[0].group_idx))
         return results
