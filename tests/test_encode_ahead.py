@@ -70,6 +70,9 @@ def test_encode_ahead_passes_pre_encoded_batches(monkeypatch):
     eng = _engine()
     wins = _windows()
     monkeypatch.setenv("WJAV_ENCODE_AHEAD", "1")
+    # pin to the encode-ahead (callback) path — decode-ahead supersedes
+    # it when HBM allows and never routes through transcribe_batch
+    monkeypatch.setenv("WJAV_DECODE_AHEAD", "0")
 
     events = []
     orig_tb = TranscriptionEngine.transcribe_batch
@@ -107,6 +110,71 @@ def test_encode_ahead_passes_pre_encoded_batches(monkeypatch):
     ahead_encodes = [i for i, e in enumerate(events)
                      if e[0] == "encode"][1:]   # skip batch 0's inline one
     assert ahead_encodes and all(i > first_decode for i in ahead_encodes)
+
+
+def test_decode_ahead_outputs_identical(monkeypatch):
+    """Decode-ahead (keep batch i+1's decode in flight while draining
+    batch i) reorders device work only — outputs bit-identical to the
+    sequential path."""
+    eng = _engine()
+    wins = _windows()
+    monkeypatch.setenv("WJAV_ENCODE_AHEAD", "0")
+    monkeypatch.setenv("WJAV_DECODE_AHEAD", "0")
+    base = _flatten(eng.transcribe_windows(wins, seed=3))
+    monkeypatch.setenv("WJAV_ENCODE_AHEAD", "1")
+    monkeypatch.setenv("WJAV_DECODE_AHEAD", "1")
+    ahead = _flatten(eng.transcribe_windows(wins, seed=3))
+    assert ahead == base
+    assert any(segs for _, segs in base)
+
+
+def test_decode_ahead_dispatch_order(monkeypatch):
+    """Batch i+1's encode AND first-rung decode are dispatched BEFORE
+    batch i's drain (finish_batch) — that interleave is the lever."""
+    eng = _engine()
+    wins = _windows()
+    monkeypatch.setenv("WJAV_ENCODE_AHEAD", "1")
+    monkeypatch.setenv("WJAV_DECODE_AHEAD", "1")
+
+    events = []
+    orig_fb = TranscriptionEngine.finish_batch
+    orig_de = TranscriptionEngine.decode_encoded
+
+    def spy_fb(self, batch, xa, result, seed=0, trace=None):
+        events.append("finish")
+        return orig_fb(self, batch, xa, result, seed=seed, trace=trace)
+
+    def spy_de(self, xa, temperature=0.0, seed=0):
+        events.append("decode")
+        return orig_de(self, xa, temperature, seed)
+
+    monkeypatch.setattr(TranscriptionEngine, "finish_batch", spy_fb)
+    monkeypatch.setattr(TranscriptionEngine, "decode_encoded", spy_de)
+    res = eng.transcribe_windows(wins, seed=3)
+    assert len(res) == len(wins)
+
+    # 5 windows at batch_size=2 → 3 batches: the first-rung dispatch
+    # pattern must be decode,decode,finish,decode,finish,finish (ladder
+    # rungs may add extra decodes between, but batch i+1's first decode
+    # always precedes batch i's finish)
+    assert events[:2] == ["decode", "decode"]
+    assert events.count("finish") == 3
+    # the first drain happens only after TWO first-rung dispatches (its
+    # own + the next batch's) — i.e., exactly at index 2; ladder rungs
+    # (random weights fail gates here) append decodes inside each finish
+    assert events.index("finish") == 2
+
+
+def test_decode_ahead_hbm_guard(monkeypatch):
+    """Auto mode disables decode-ahead when two decode footprints would
+    not leave HBM headroom (large-v2/B=64-class configs)."""
+    eng = _engine()
+    monkeypatch.setenv("WJAV_DECODE_AHEAD", "auto")
+    assert eng._decode_ahead_enabled()          # tiny config: fits
+    monkeypatch.setattr(TranscriptionEngine, "DECODE_AHEAD_BUDGET_BYTES", 1)
+    assert not eng._decode_ahead_enabled()      # no headroom: sequential
+    monkeypatch.setenv("WJAV_DECODE_AHEAD", "1")
+    assert eng._decode_ahead_enabled()          # explicit override wins
 
 
 def test_encode_batch_bucket_slice():

@@ -119,6 +119,121 @@ def test_two_process_distributed_smoke(tmp_path):
     assert not set(shards[0]) & set(shards[1])
 
 
+_CLI_CHILD = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+os.environ["WJAV_COMPILE_CACHE"] = "0"
+sys.path.insert(0, {repo!r})
+import jax
+import whisperjav_tpu.pipelines.factory as factory
+from whisperjav_tpu.models.whisper.config import WhisperConfig
+from whisperjav_tpu.models.whisper.model import init_params
+TINY = WhisperConfig(name="mh-tiny", n_audio_state=64, n_audio_head=4,
+                     n_audio_layer=2, n_text_state=64, n_text_head=4,
+                     n_text_layer=2)
+params = init_params(TINY, jax.random.PRNGKey(0))
+factory.load_model = lambda *a, **k: (TINY, params)
+from whisperjav_tpu import cli
+rc = cli.main([sys.argv[3], "--multihost", "--coordinator", sys.argv[1],
+               "--num-hosts", "2", "--host-id", sys.argv[2],
+               "--mode", "faster", "--model", "tiny", "--skip-existing",
+               "--output-dir", sys.argv[4]])
+print("CLI_RC", rc, flush=True)
+sys.exit(rc)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_cli_transcribe_disjoint(tmp_path):
+    """VERDICT round-4 #4: two OS processes run the REAL CLI under one
+    jax.distributed control plane over a shared directory — each
+    transcribes exactly its slice (disjoint, covering), outputs land in
+    the shared output dir, and --skip-existing re-runs are no-ops."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    for i in range(4):
+        _wav(tmp_path, f"m{i}.wav", seconds=2.0)
+    out = tmp_path / "out"
+    script = tmp_path / "cli_child.py"
+    script.write_text(_CLI_CHILD.format(repo=str(REPO)))
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, str(pid), str(tmp_path),
+         str(out)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in (0, 1)]
+    for p in procs:
+        try:
+            _out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("two-process CLI transcribe timed out")
+        assert p.returncode == 0, err[-2000:]
+
+    srts = sorted(p.name for p in out.glob("m*.ja.whisperjav.srt"))
+    assert srts == [f"m{i}.ja.whisperjav.srt" for i in range(4)]
+    # re-running the whole job with --skip-existing must be a no-op on
+    # every host (nothing rewritten) — initialize() barriers on all
+    # processes, so the re-run launches both
+    before = {p.name: p.read_text() for p in out.glob("*.srt")}
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port2 = s.getsockname()[1]
+    rerun = [subprocess.Popen(
+        [sys.executable, str(script), f"localhost:{port2}", str(pid),
+         str(tmp_path), str(out)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in (0, 1)]
+    for p in rerun:
+        try:
+            _out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in rerun:
+                q.kill()
+            pytest.fail("skip-existing re-run timed out")
+        assert p.returncode == 0, err[-2000:]
+    after = {p.name: p.read_text() for p in out.glob("*.srt")}
+    assert after == before
+
+
+# ------------------------------------------- duration-weighted sharding
+
+def test_shard_files_duration_balanced():
+    """With full duration info, assignment balances AUDIO HOURS (greedy
+    LPT), not file counts: a 2 h feature pins one host while the short
+    clips fill the other."""
+    from whisperjav_tpu.modules.media_discovery import MediaInfo
+    from whisperjav_tpu.parallel.multihost import shard_files
+    files = [MediaInfo(path=Path(f"/x/{n}.wav"), basename=n, duration=d)
+             for n, d in [("a", 7200.0), ("b", 600.0), ("c", 660.0),
+                          ("d", 630.0), ("e", 640.0), ("f", 610.0)]]
+    s0 = shard_files(files, 0, 2)
+    s1 = shard_files(files, 1, 2)
+    names0 = {m.basename for m in s0}
+    names1 = {m.basename for m in s1}
+    assert names0 | names1 == {m.basename for m in files}
+    assert not names0 & names1
+    # the feature-length file rides alone; all five clips land together
+    assert {"a"} in (names0, names1)
+    # determinism across re-runs (resume contract)
+    assert [m.basename for m in shard_files(files, 0, 2)] == \
+           [m.basename for m in s0]
+
+
+def test_shard_files_round_robin_without_durations():
+    """Missing durations degrade to stable round-robin by name."""
+    from whisperjav_tpu.parallel.multihost import shard_files
+    files = [f"f{i}" for i in range(5)]
+    s0 = shard_files(files, 0, 2)
+    s1 = shard_files(files, 1, 2)
+    assert s0 == ["f0", "f2", "f4"] and s1 == ["f1", "f3"]
+
+
 # ------------------------------------------- resume / skip-existing
 
 def _fake_done(out_dir: Path, stem: str) -> Path:

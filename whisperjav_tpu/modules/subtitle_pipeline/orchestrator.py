@@ -132,8 +132,16 @@ class DecoupledSubtitlePipeline:
     def _run_once(self, audio: np.ndarray, sample_rate: int,
                   max_group_s: float, diag: SceneDiagnostics,
                   ) -> Tuple[List[WordTimestamp], FramingResult]:
+        def _lap(key, since):
+            now = time.time()
+            diag.stage_s[key] = round(
+                diag.stage_s.get(key, 0.0) + (now - since), 3)
+            return now
+
         # step 1: frame
+        t = time.time()
         framing = self.framer.frame(audio, sample_rate, max_group_s)
+        t = _lap("frame", t)
         diag.frames = len(framing.frames)
         if not framing.frames:
             return [], framing
@@ -147,12 +155,15 @@ class DecoupledSubtitlePipeline:
 
         # steps 3-4: generate + clean
         gen = self.generator.generate_batch(clips, sample_rate)
+        t = _lap("generate", t)
         cleaned = self.cleaner.clean_batch(gen)
+        t = _lap("clean", t)
         diag.generated_chars = sum(len(r.text) for r in cleaned)
 
         # steps 5-7: align
         texts = [r.text for r in cleaned]
         aligned = self.aligner.align_batch(clips, sample_rate, texts)
+        t = _lap("align", t)
 
         # step 8: sentinel + merge frame words to scene-relative time
         all_words: List[WordTimestamp] = []
@@ -172,4 +183,5 @@ class DecoupledSubtitlePipeline:
                     None if w.start is None else w.start + frame.start,
                     None if w.end is None else w.end + frame.start,
                     w.prob))
+        _lap("assemble", t)
         return all_words, framing

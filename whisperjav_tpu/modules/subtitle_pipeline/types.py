@@ -105,6 +105,11 @@ class SceneDiagnostics:
     step_down_retries: int = 0
     hardening_actions: int = 0
     elapsed_s: float = 0.0
+    # per-step wall clocks (frame/generate/clean/align/assemble) so
+    # file-level runs can attribute where scene time goes — the
+    # generate-loop RTF alone says nothing about the whole decoupled
+    # path (reference whole-path: qwen_pipeline.py:530-1056)
+    stage_s: Dict[str, float] = field(default_factory=dict)
 
     def to_dict(self) -> Dict:
         d = {"schema_version": self.SCHEMA_VERSION}

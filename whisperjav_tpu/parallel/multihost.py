@@ -62,13 +62,46 @@ def shard_files(files: Sequence, process_index: int,
                 process_count: int) -> List:
     """Deterministic per-host slice of the file list.
 
-    Round-robin by sorted order so every host sees a similar duration
-    mix (directories often sort small-to-large by episode), and the
+    When every file's duration is known (media probing fills
+    MediaInfo.duration), assignment is greedy longest-processing-time:
+    files sort by (duration desc, name) and each goes to the host with
+    the smallest summed duration so far — balancing *audio hours*, not
+    file counts (a directory mixing 10-min clips with 3-hour features
+    leaves round-robin hosts idle for hours). Without full duration
+    info it falls back to round-robin by sorted name, which still mixes
+    sizes reasonably (directories often sort small-to-large by
+    episode). Both schemes are pure functions of the file set, so the
     assignment is stable across re-runs for --skip-existing resume.
     """
     if process_count <= 1:
         return list(files)
-    ordered = sorted(files, key=lambda m: str(getattr(m, "path", m)))
+
+    def _name(m) -> str:
+        return str(getattr(m, "path", m))
+
+    durations = [getattr(m, "duration", None) for m in files]
+    if files and all(isinstance(d, (int, float)) and d > 0
+                     for d in durations):
+        order = sorted(files,
+                       key=lambda m: (-float(m.duration), _name(m)))
+        loads = [0.0] * process_count
+        mine: List = []
+        for m in order:
+            # ties (equal loads) break toward the lowest host id —
+            # deterministic for resume
+            host = min(range(process_count), key=lambda h: (loads[h], h))
+            loads[host] += float(m.duration)
+            if host == process_index:
+                mine.append(m)
+        mine.sort(key=_name)
+        logger.info(
+            "multihost: process %d/%d takes %d/%d file(s), %.0f/%.0f "
+            "audio-seconds (duration-balanced)", process_index,
+            process_count, len(mine), len(files),
+            loads[process_index], sum(loads))
+        return mine
+
+    ordered = sorted(files, key=_name)
     mine = ordered[process_index::process_count]
     logger.info("multihost: process %d/%d takes %d/%d file(s)",
                 process_index, process_count, len(mine), len(ordered))

@@ -362,18 +362,31 @@ class TranscriptionEngine:
         if on_decode_dispatched is not None:
             on_decode_dispatched()
         t_ahead = _time.time()
+        if trace is not None:
+            trace.update(encode_s=t_enc - t0, dispatch_s=t_disp - t_enc,
+                         ahead_s=t_ahead - t_disp)
+        return self.finish_batch(batch, xa, result, seed, trace=trace)
+
+    # ------------------------------------------------------------------
+    def finish_batch(self, batch: WindowBatch, xa, result: DecodeResult,
+                     seed: int = 0, trace: Optional[dict] = None,
+                     ) -> List[List[DecodedSegment]]:
+        """Drain a dispatched first-rung decode, run the temperature
+        ladder on failed rows, extract segments. Split out of
+        :meth:`transcribe_batch` so the decode-ahead loop
+        (:meth:`transcribe_windows`) can dispatch batch i+1's encode AND
+        decode before blocking here on batch i's tokens."""
+        import time as _time
+        th = self.thresholds
+        temps = th.temperatures
+        t_ahead = _time.time()
         tokens = np.array(result.tokens)         # writable host copies
         avg_lp = np.array(result.avg_logprob)
         no_speech = np.array(result.no_speech_prob)
         if trace is not None:
-            # phase walls: encode dispatch (blocks only if the upload or
-            # the encode queue is saturated), first-rung decode dispatch,
-            # encode-ahead dispatch for batch i+1, and the token drain —
             # the drain carries the decode's actual device compute on the
             # tunnel backend (block_until_ready does not reliably block)
-            trace.update(encode_s=t_enc - t0, dispatch_s=t_disp - t_enc,
-                         ahead_s=t_ahead - t_disp,
-                         drain_s=_time.time() - t_ahead,
+            trace.update(drain_s=_time.time() - t_ahead,
                          bucket=int(xa.shape[1]), rows=int(xa.shape[0]),
                          rungs=1)
 
@@ -484,6 +497,36 @@ class TranscriptionEngine:
                     seg.end = max(new_end, seg.start + 0.05)
 
     # ------------------------------------------------------------------
+    def _decode_ahead_bytes(self) -> int:
+        """Worst-case resident bytes for ONE in-flight decode execution:
+        cross-KV + self-KV cache + encoder states (weights are shared).
+        Used to gate decode-ahead — two executions must fit HBM with
+        headroom for XLA temporaries (large-v2/B=64 measured OOM with
+        two resident decodes, ADR-002 round 3)."""
+        c = self.config
+        rows = self.batch_size * max(self.options.beam_size, 1)
+        bucket = CROSS_KV_BUCKETS[-1]
+        kv_byte = 1 if self.options.cross_kv_int8 else 2
+        cross = 2 * c.n_text_layer * rows * bucket * c.n_text_state * kv_byte
+        budget = self.options.max_new_tokens + 8
+        self_kv = 2 * c.n_text_layer * rows * budget * c.n_text_state * 2
+        xa = self.batch_size * bucket * c.n_audio_state * 2
+        return cross + self_kv + xa
+
+    # decode-ahead is worth enabling only when two decode footprints
+    # leave generous HBM headroom for weights + HLO temporaries (the
+    # temps alone measured 5-8 GB at large-v2/B=64)
+    DECODE_AHEAD_BUDGET_BYTES = 5 * 1024 ** 3
+
+    def _decode_ahead_enabled(self) -> bool:
+        import os
+        mode = os.environ.get("WJAV_DECODE_AHEAD", "auto")
+        if mode == "0":
+            return False
+        if mode == "1":
+            return True
+        return 2 * self._decode_ahead_bytes() < self.DECODE_AHEAD_BUDGET_BYTES
+
     def transcribe_windows(
         self, windows: Sequence[Window], seed: int = 0,
     ) -> List[Tuple[Window, List[DecodedSegment]]]:
@@ -518,6 +561,73 @@ class TranscriptionEngine:
         # (double buffering), so each iteration carries its upload wall
         # forward into the NEXT trace row.
         pending_upload_s = _time.time() - t_up0
+
+        def _record(trace: Optional[dict], batch: WindowBatch,
+                    t_b0: float, bi: int) -> None:
+            if trace is None:
+                return
+            trace["batch_s"] = _time.time() - t_b0
+            trace["audio_s"] = round(
+                sum(w.duration for w in batch.windows), 1)
+            self.batch_trace.append(trace)
+            logger.info(
+                "batch %d/%d: %.1fs (upload %.2f enc %.2f disp %.2f "
+                "ahead %.2f drain %.2f ladder %.2f extract %.2f) "
+                "rungs=%d bucket=%d rows=%d audio=%.0fs",
+                bi + 1, len(batches), trace["batch_s"],
+                trace["upload_s"], trace["encode_s"],
+                trace["dispatch_s"], trace["ahead_s"], trace["drain_s"],
+                trace.get("ladder_s", 0.0), trace.get("extract_s", 0.0),
+                trace["rungs"], trace["bucket"], trace["rows"],
+                trace["audio_s"])
+
+        if ahead_on and len(batches) > 1 and self._decode_ahead_enabled():
+            # decode-ahead: dispatch encode(i)+decode(i), upload audio
+            # i+1, THEN drain batch i-1 — the host's drain (tunnel
+            # round-trip) + ladder + segment extraction for i-1 all run
+            # while the chip executes decode(i), so the device never
+            # waits on the host between batches. Requires two decode
+            # footprints resident in HBM (the guard above). Outputs are
+            # bit-identical to the sequential path: each batch's decode
+            # consumes only its own xa/seed (tests/test_encode_ahead.py).
+            temps0 = self.thresholds.temperatures[0]
+            prev = None     # (batch, xa, result, seed_i, trace, t_b0, bi)
+            for bi, batch in enumerate(batches):
+                t_b0 = _time.time()
+                trace = {} if trace_on else None
+                max_dur = max((w.duration for w in batch.windows),
+                              default=30.0)
+                xa_i = self.encode_batch(batch.audio, device_audio=dev,
+                                         max_duration=max_dur)
+                t_enc = _time.time()
+                res_i = self.decode_encoded(xa_i, temps0, seed + bi * 131)
+                t_disp = _time.time()
+                nxt = (self.upload_audio(batches[bi + 1].audio)
+                       if bi + 1 < len(batches) else None)
+                t_upload = _time.time() - t_disp
+                if trace is not None:
+                    trace.update(upload_s=pending_upload_s,
+                                 encode_s=t_enc - t_b0,
+                                 dispatch_s=t_disp - t_enc, ahead_s=0.0)
+                if prev is not None:
+                    p_batch, p_xa, p_res, p_seed, p_trace, p_t0, p_bi = prev
+                    segs = self.finish_batch(p_batch, p_xa, p_res, p_seed,
+                                             trace=p_trace)
+                    _record(p_trace, p_batch, p_t0, p_bi)
+                    results.extend(zip(p_batch.windows, segs))
+                prev = (batch, xa_i, res_i, seed + bi * 131, trace,
+                        t_b0, bi)
+                dev = nxt
+                pending_upload_s = t_upload
+            if prev is not None:
+                p_batch, p_xa, p_res, p_seed, p_trace, p_t0, p_bi = prev
+                segs = self.finish_batch(p_batch, p_xa, p_res, p_seed,
+                                         trace=p_trace)
+                _record(p_trace, p_batch, p_t0, p_bi)
+                results.extend(zip(p_batch.windows, segs))
+            results.sort(key=lambda p: (p[0].scene_idx, p[0].group_idx))
+            return results
+
         xa = None
         for bi, batch in enumerate(batches):
             t_b0 = _time.time()
@@ -543,20 +653,7 @@ class TranscriptionEngine:
                 trace=trace)
             if trace is not None:
                 trace["upload_s"] = pending_upload_s
-                trace["batch_s"] = _time.time() - t_b0
-                trace["audio_s"] = round(
-                    sum(w.duration for w in batch.windows), 1)
-                self.batch_trace.append(trace)
-                logger.info(
-                    "batch %d/%d: %.1fs (upload %.2f enc %.2f disp %.2f "
-                    "ahead %.2f drain %.2f ladder %.2f extract %.2f) "
-                    "rungs=%d bucket=%d rows=%d audio=%.0fs",
-                    bi + 1, len(batches), trace["batch_s"],
-                    trace["upload_s"], trace["encode_s"],
-                    trace["dispatch_s"], trace["ahead_s"], trace["drain_s"],
-                    trace.get("ladder_s", 0.0), trace.get("extract_s", 0.0),
-                    trace["rungs"], trace["bucket"], trace["rows"],
-                    trace["audio_s"])
+            _record(trace, batch, t_b0, bi)
             results.extend(zip(batch.windows, segs))
             dev = nxt
             xa = nxt_holder.get("xa")

@@ -98,15 +98,21 @@ class QwenPipeline:
         logger.info("qwen pipeline: %s", media.path.name)
 
         # phase 1-2: extract + scenes with safe chunking
+        stage_s: Dict[str, float] = {}
+        t_ph = time.time()
         audio, duration = AudioExtractor(WHISPER_SAMPLE_RATE).extract(
             media.path)
+        stage_s["extract"] = round(time.time() - t_ph, 3)
+        t_ph = time.time()
         scene_result = self.scene_detector.detect(audio, WHISPER_SAMPLE_RATE)
         scenes = (safe_chunk_scenes(scene_result.scenes,
                                     max_s=self.scene_max_s,
                                     min_s=self.scene_min_s)
                   if self.safe_chunking else list(scene_result.scenes))
+        stage_s["scenes"] = round(time.time() - t_ph, 3)
 
         # phase 3: enhancement (graceful)
+        t_ph = time.time()
         scene_audios = []
         for sc in scenes:
             a = int(sc.start * WHISPER_SAMPLE_RATE)
@@ -119,10 +125,17 @@ class QwenPipeline:
                 if res.success:
                     clip = res.audio
             scene_audios.append(clip)
+        stage_s["enhance"] = round(time.time() - t_ph, 3)
 
         # phases 4-5: decoupled assembly per scene
         outputs = self.decoupled.process_scenes(scene_audios,
                                                 WHISPER_SAMPLE_RATE)
+        # aggregate the orchestrator's per-scene step walls
+        # (frame/generate/clean/align/assemble) for file-level RTF
+        # attribution (reference whole-path: qwen_pipeline.py:530-1056)
+        for out in outputs:
+            for k, v in out.diagnostics.stage_s.items():
+                stage_s[k] = round(stage_s.get(k, 0.0) + v, 3)
 
         # phases 6-7: per-scene cues → global stitch
         scene_subs = [(out.subtitles, scenes[i].start)
@@ -145,6 +158,7 @@ class QwenPipeline:
 
         srt_path = output_dir / f"{media.basename}.{self.language}.whisperjav.srt"
         save_srt(srt_path, subtitles)
+        wall = round(time.time() - t0, 2)
         metadata = {
             "input": str(media.path),
             "pipeline": "qwen",
@@ -152,7 +166,17 @@ class QwenPipeline:
             "scenes": len(scenes),
             "analytics": analytics,
             "scene_diagnostics": diagnostics,
-            "wall_s": round(time.time() - t0, 2),
+            "wall_s": wall,
+            # same stats shape the transcribe pipeline emits, so
+            # file-level harnesses (tools/e2e_bench) grade qwen mode too
+            "stats": {
+                "e2e_wall_s": wall,
+                "e2e_rtf_x": round(duration / max(wall, 1e-9), 2),
+                "stage_s": stage_s,
+                "final_subtitles": len(subtitles),
+                "windows": sum(d.get("frames", 0) for d in diagnostics),
+                "audio_s": round(duration, 3),
+            },
         }
         (output_dir / f"{media.basename}.whisperjav.json").write_text(
             json.dumps(metadata, indent=2, ensure_ascii=False, default=str),

@@ -128,6 +128,94 @@ def run_cli(wav: Path, out_dir: Path, mode: str, model: str | None,
     return proc.returncode or 0, time.time() - t0
 
 
+def run_serve(wav: Path, mode: str, model: str | None,
+              batch_size: int | None, budget_s: float,
+              audio_s: float) -> dict | None:
+    """File-level RTF through ``whisperjav-serve``'s hot engine.
+
+    Starts the server as a child, waits for /health (patient: the claim
+    + engine build can take minutes and must never be killed mid-claim
+    — CLAUDE.md), then POSTs the SAME file twice: request 1 pays the
+    residual compiles, request 2 is the resident-engine steady state a
+    multi-file user lives in. Returns both walls.
+    """
+    import http.client
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    cmd = [sys.executable, "-m", "whisperjav_tpu.serve",
+           "--port", str(port), "--mode", mode,
+           "--coalesce-ms", "0"]           # single client: no linger
+    if model:
+        cmd += ["--model", model]
+    if batch_size:
+        cmd += ["--batch-size", str(batch_size)]
+    env = dict(os.environ)
+    env.setdefault("PYTHONUNBUFFERED", "1")
+    print(f"e2e_bench: starting {' '.join(cmd)}", file=sys.stderr,
+          flush=True)
+    proc = subprocess.Popen(cmd, stderr=subprocess.STDOUT,
+                            stdout=subprocess.PIPE, env=env,
+                            cwd=str(Path(__file__).resolve().parents[2]))
+
+    def pump():
+        for raw in proc.stdout:
+            print(f"  [serve] {raw.decode('utf-8', 'replace').rstrip()}",
+                  file=sys.stderr, flush=True)
+
+    threading.Thread(target=pump, daemon=True).start()
+
+    def request(req_timeout: float):
+        conn = http.client.HTTPConnection("127.0.0.1", port,
+                                          timeout=req_timeout)
+        body = json.dumps({"path": str(wav), "format": "json"})
+        t0 = time.time()
+        conn.request("POST", "/transcribe", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        data = json.loads(resp.read())
+        conn.close()
+        if resp.status != 200:
+            raise RuntimeError(f"serve error {resp.status}: {data}")
+        return time.time() - t0, data
+
+    try:
+        deadline = time.time() + budget_s
+        while time.time() < deadline:          # wait for the engine
+            if proc.poll() is not None:
+                print("e2e_bench: serve exited during startup",
+                      file=sys.stderr, flush=True)
+                return None
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=5.0)
+                conn.request("GET", "/health")
+                if conn.getresponse().status == 200:
+                    break
+            except OSError:
+                time.sleep(3.0)
+        else:
+            return None
+        wall_cold, _ = request(budget_s)
+        wall_warm, data = request(budget_s)
+        return {
+            "serve_cold_wall_s": round(wall_cold, 2),
+            "serve_warm_wall_s": round(wall_warm, 2),
+            "serve_cold_rtf_x": round(audio_s / wall_cold, 2),
+            "serve_warm_rtf_x": round(audio_s / wall_warm, 2),
+            "serve_stats": data.get("stats", {}),
+            "serve_cues": len(data.get("cues", [])),
+        }
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--minutes", type=float, default=30.0,
@@ -145,6 +233,9 @@ def main(argv=None) -> int:
     ap.add_argument("--stall-s", type=float, default=1500.0)
     ap.add_argument("--keep", action="store_true",
                     help="keep the synthesized WAV + outputs")
+    ap.add_argument("--serve", action="store_true",
+                    help="measure through whisperjav-serve's hot engine "
+                         "instead of the CLI (cold + warm request walls)")
     ap.add_argument("extra", nargs="*", help="extra CLI args after --")
     args = ap.parse_args(argv)
 
@@ -160,6 +251,28 @@ def main(argv=None) -> int:
               file=sys.stderr, flush=True)
         audio_s = synth_long_wav(wav, args.minutes)
     out_dir = tmp / "out"
+
+    if args.serve:
+        res = run_serve(wav, args.mode, args.model, args.batch_size,
+                        args.budget_s, audio_s)
+        if res is None:
+            print("e2e_bench: serve run failed", file=sys.stderr,
+                  flush=True)
+            return 3
+        result = {
+            "metric": f"e2e_serve_rtf_{args.mode}",
+            "value": res["serve_warm_rtf_x"],
+            "unit": "x_realtime",
+            "vs_baseline": round(res["serve_warm_rtf_x"]
+                                 / BASELINE_E2E_RTF, 3),
+            "audio_s": round(audio_s, 1),
+            **res,
+        }
+        print(json.dumps(result), flush=True)
+        if not args.keep:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+        return 0
 
     rc, wall = run_cli(wav, out_dir, args.mode, args.model,
                        args.batch_size, args.extra,
@@ -190,6 +303,15 @@ def main(argv=None) -> int:
         "subtitles": stats.get("final_subtitles"),
         "windows": stats.get("windows"),
     }
+    trace = stats.get("batch_trace")
+    if trace:
+        phases = ("upload_s", "encode_s", "dispatch_s", "ahead_s",
+                  "drain_s", "ladder_s", "extract_s")
+        result["batch_phase_s"] = {
+            p: round(sum(t.get(p, 0.0) for t in trace), 2) for p in phases}
+        result["batch_s_each"] = [round(t.get("batch_s", 0.0), 1)
+                                  for t in trace]
+        result["rungs_each"] = [t.get("rungs") for t in trace]
     print(json.dumps(result), flush=True)
     if not args.keep:
         import shutil
