@@ -177,6 +177,32 @@ def test_decode_ahead_hbm_guard(monkeypatch):
     assert eng._decode_ahead_enabled()          # explicit override wins
 
 
+def test_gate_fail_injection(monkeypatch):
+    """WJAV_GATE_FAIL_PCT draws a deterministic ~N% of rows as rung-1
+    failures (ladder-cost realism bench knob): 0 → content gates rule;
+    100 → every row retries exactly once; draws are seed-stable."""
+    eng = _engine()
+    wins = _windows(4)
+    calls = []
+    orig_de = TranscriptionEngine.decode_encoded
+
+    def spy_de(self, xa, temperature=0.0, seed=0):
+        calls.append(float(temperature))
+        return orig_de(self, xa, temperature, seed)
+
+    monkeypatch.setattr(TranscriptionEngine, "decode_encoded", spy_de)
+    monkeypatch.setenv("WJAV_DECODE_AHEAD", "0")
+    monkeypatch.setenv("WJAV_GATE_FAIL_PCT", "100")
+    eng.transcribe_windows(wins, seed=3)
+    # 2 batches × (rung1 + exactly one injected retry) = 4 decodes
+    assert calls.count(0.0) == 2 and len(calls) == 4
+    calls.clear()
+    monkeypatch.setenv("WJAV_GATE_FAIL_PCT", "0.0001")
+    eng.transcribe_windows(wins, seed=3)
+    # ~0% injection: no retries at all (content gates bypassed)
+    assert calls == [0.0, 0.0]
+
+
 def test_encode_batch_bucket_slice():
     eng = _engine()
     rng = np.random.default_rng(0)

@@ -25,6 +25,78 @@ def test_build_args_basics():
     assert "whisperjav_tpu.cli" in joined
 
 
+def test_build_args_component_dicts():
+    """The SPA's schema-driven advanced forms post per-backend dicts;
+    each non-default knob becomes a repeated KEY=VALUE flag the CLI
+    coerces (cli.py _parse_kv_args)."""
+    argv = build_args({
+        "inputs": "/x.wav",
+        "vad_args": {"min_silence_duration_ms": 200, "use_pallas": True},
+        "scene_args": {"max_scene_s": 20.5},
+        "enhancer_args": {"strength": 0.7},
+        "overrides": {"sensitivity.beam_size": 3},
+    })
+    joined = " ".join(argv)
+    assert "--vad-arg min_silence_duration_ms=200" in joined
+    assert "--vad-arg use_pallas=true" in joined
+    assert "--scene-arg max_scene_s=20.5" in joined
+    assert "--enhancer-arg strength=0.7" in joined
+    assert "--overrides sensitivity.beam_size=3" in joined
+
+
+def test_component_schema_endpoint_fields():
+    """Every backend listed in the component registry introspects to a
+    non-empty typed field list (the SPA renders these as form fields)."""
+    from whisperjav_tpu.gui.server import _COMPONENT_CONFIGS, component_schema
+    for ctype, names in _COMPONENT_CONFIGS.items():
+        for name in names:
+            s = component_schema(ctype, name)
+            assert s["success"], (ctype, name, s)
+            assert s["fields"], (ctype, name)
+            for f in s["fields"]:
+                assert f["type"] in ("int", "float", "bool", "str",
+                                     "tuple", "list", "dict", "NoneType"), f
+    assert not component_schema("segmenter", "nope")["success"]
+
+
+def test_spa_js_references_resolve():
+    """No-browser-in-image substitute for a headless smoke (none of
+    chromium/node exist here — environmental): every element id the
+    SPA's JS dereferences via $('id') must exist in the markup, the
+    script block must be brace/paren balanced, and the advanced panels
+    the schema-driven forms render into must be present."""
+    import re
+    from whisperjav_tpu.gui.app_page import APP_HTML
+    html, _, script = APP_HTML.partition("<script>")
+    script = script.partition("</script>")[0]
+    ids_in_html = set(re.findall(r'id="([^"]+)"', html))
+    static_refs = set(re.findall(r"\$\('([^']+)'\)", script))
+    # dynamic ids ($('adv_' + ...), $('advf_...' + name)) are created by
+    # renderAdv at runtime; only static references are checkable
+    missing = {r for r in static_refs if r not in ids_in_html}
+    assert not missing, f"JS references unknown element ids: {missing}"
+    for panel in ("adv_vad", "adv_scene", "adv_enhancer"):
+        assert f'id="{panel}"' in html
+        assert f'id="{panel}_fields"' in html
+    for open_c, close_c in ("{}", "()", "[]"):
+        assert script.count(open_c) == script.count(close_c), \
+            f"unbalanced {open_c}{close_c} in SPA script"
+
+
+def test_spa_advanced_form_flow_server_side():
+    """The contract the SPA's advanced forms rely on, server-side: the
+    component schema yields typed fields, and posting those values as
+    {vad_args: ...} produces the CLI flags (full flow minus the DOM)."""
+    from whisperjav_tpu.gui.server import component_schema
+    s = component_schema("segmenter", "silero")
+    assert s["success"]
+    names = {f["name"] for f in s["fields"]}
+    assert names          # non-empty form
+    field = sorted(names)[0]
+    argv = build_args({"inputs": "/x.wav", "vad_args": {field: 123}})
+    assert f"--vad-arg {field}=123" in " ".join(argv)
+
+
 def test_build_args_skips_empty():
     argv = build_args({"inputs": "/x.wav", "model": "", "checkpoint": None})
     assert "--model" not in argv

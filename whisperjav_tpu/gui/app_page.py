@@ -57,6 +57,13 @@ APP_HTML = """<!DOCTYPE html>
   #ensemble_panel { display: none; border: 1px solid #2c313a;
                     border-radius: 6px; padding: 4px 10px 10px;
                     margin-top: 8px; }
+  details.adv { margin-top: 6px; border: 1px solid #2c313a;
+                border-radius: 6px; padding: 4px 10px 8px; }
+  details.adv summary { font-size: 12px; color: #9aa4b2; cursor: pointer; }
+  details.adv[hidden] { display: none; }
+  .advgrid { display: grid; grid-template-columns: 1fr 1fr; gap: 0 10px; }
+  .advgrid label { margin-top: 6px; }
+  .advgrid .chk { margin-top: 10px; }
 </style>
 </head>
 <body>
@@ -76,6 +83,10 @@ APP_HTML = """<!DOCTYPE html>
       <div><label>VAD</label><select id="vad_backend"></select></div>
       <div><label>Scenes</label><select id="scene_backend"></select></div>
     </div>
+    <details class="adv" id="adv_vad" hidden><summary>VAD options</summary>
+      <div class="advgrid" id="adv_vad_fields"></div></details>
+    <details class="adv" id="adv_scene" hidden><summary>Scene options</summary>
+      <div class="advgrid" id="adv_scene_fields"></div></details>
     <div class="row">
       <div><label>Enhancer</label><select id="enhancer"></select></div>
       <div><label>Subs language</label>
@@ -84,6 +95,9 @@ APP_HTML = """<!DOCTYPE html>
           <option value="english-direct">english-direct</option>
         </select></div>
     </div>
+    <details class="adv" id="adv_enhancer" hidden>
+      <summary>Enhancer options</summary>
+      <div class="advgrid" id="adv_enhancer_fields"></div></details>
     <label>Model checkpoint (local dir, optional)</label>
     <input id="checkpoint" placeholder="/models/whisper-large-v2">
     <div class="row">
@@ -168,6 +182,61 @@ async function loadSchema() {
 $('ensemble').onchange = () =>
   $('ensemble_panel').style.display = $('ensemble').checked ? 'block' : 'none';
 
+// ---- schema-driven per-backend advanced forms (server introspects the
+// backend config dataclasses at /api/component_schema)
+const ADV = [   // [select id, schema component type, options() key]
+  ['vad_backend', 'segmenter', 'vad_args'],
+  ['scene_backend', 'scene', 'scene_args'],
+  ['enhancer', 'enhancer', 'enhancer_args'],
+];
+const advDefaults = {};   // options key → {field: default}
+
+async function renderAdv(selId, ctype, okey) {
+  const panel = $('adv_' + (okey === 'enhancer_args' ? 'enhancer'
+                            : okey.replace('_args', '')));
+  const holder = panel.querySelector('.advgrid');
+  holder.innerHTML = ''; advDefaults[okey] = {};
+  const name = $(selId).value;
+  if (!name || name === 'none') { panel.hidden = true; return; }
+  const r = await (await fetch('/api/component_schema?type=' + ctype +
+                               '&name=' + encodeURIComponent(name))).json();
+  if (!r.success || !r.fields.length) { panel.hidden = true; return; }
+  panel.hidden = false;
+  for (const f of r.fields) {
+    advDefaults[okey][f.name] = f.default;
+    const id = 'advf_' + okey + '_' + f.name;
+    const div = document.createElement('div');
+    if (f.type === 'bool') {
+      div.className = 'chk';
+      div.innerHTML = '<input type="checkbox" id="' + id + '"' +
+        (f.default ? ' checked' : '') + '><span>' + f.name + '</span>';
+    } else {
+      const num = f.type === 'int' || f.type === 'float';
+      div.innerHTML = '<label>' + f.name + '</label><input id="' + id +
+        '"' + (num ? ' type="number" step="any"' : '') +
+        ' value="' + (f.default === null ? '' : f.default) + '">';
+    }
+    holder.appendChild(div);
+  }
+}
+
+function collectAdv(o) {
+  for (const [, , okey] of ADV) {
+    const defs = advDefaults[okey] || {};
+    const args = {};
+    for (const [name, def] of Object.entries(defs)) {
+      const el = $('advf_' + okey + '_' + name);
+      if (!el) continue;
+      const v = el.type === 'checkbox' ? el.checked : el.value;
+      if (String(v) !== String(def === null ? '' : def)) args[name] = v;
+    }
+    if (Object.keys(args).length) o[okey] = args;
+  }
+}
+
+for (const [selId, ctype, okey] of ADV)
+  $(selId).addEventListener('change', () => renderAdv(selId, ctype, okey));
+
 function options() {
   const o = { inputs: $('inputs').value.trim() };
   for (const k of ['output_dir','mode','sensitivity','vad_backend',
@@ -177,6 +246,7 @@ function options() {
     if ($(k).value) o[k] = $(k).value;
   for (const k of ['ensemble','skip_existing','make_vtt','word_timestamps'])
     o[k] = $(k).checked;
+  collectAdv(o);
   return o;
 }
 

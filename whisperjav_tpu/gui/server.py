@@ -63,6 +63,20 @@ def build_args(options: Dict) -> List[str]:
         val = options.get(key)
         if val not in (None, "", []):
             argv.extend([flag, str(val)])
+    # per-backend advanced knobs: the SPA's schema-driven forms post
+    # {vad_args: {k: v}, ...} dicts holding only non-default values;
+    # each becomes a repeated KEY=VALUE flag (reference exposes the same
+    # per-component depth through pydantic forms, webview_gui/api.py:830)
+    for key, flag in [("vad_args", "--vad-arg"),
+                      ("scene_args", "--scene-arg"),
+                      ("enhancer_args", "--enhancer-arg"),
+                      ("overrides", "--overrides")]:
+        kv = options.get(key)
+        if isinstance(kv, dict):
+            for k, v in kv.items():
+                if isinstance(v, bool):
+                    v = "true" if v else "false"
+                argv.extend([flag, f"{k}={v}"])
     for key, flag in [("skip_existing", "--skip-existing"),
                       ("make_vtt", "--make-vtt"),
                       ("no_sanitize", "--no-sanitize"),

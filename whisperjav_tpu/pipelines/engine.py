@@ -399,10 +399,25 @@ class TranscriptionEngine:
         prev_mean = float(np.mean(avg_lp[:batch.n_valid])) \
             if batch.n_valid else 0.0
         t_ladder0 = _time.time()
+        # WJAV_GATE_FAIL_PCT=<float>: bench-only gate-outcome injection.
+        # Random-init weights fail EVERY content gate (ladder saturates)
+        # while the rung-1 clamp models zero failures; neither is the
+        # production profile. This draws a deterministic ~N% of rows as
+        # rung-1 failures (one retry each), so ladder cost can be
+        # measured at a realistic retry rate (VERDICT r4 #5; reference
+        # ladder semantics: faster_whisper.py:236-356).
+        import os as _os
+        inject_pct = float(_os.environ.get("WJAV_GATE_FAIL_PCT", "0") or 0)
         for t_i, temp in enumerate(temps[1:], start=1):
-            failed = [b for b in range(batch.n_valid)
-                      if self._row_needs_fallback(tokens[b], avg_lp[b],
-                                                  no_speech[b])]
+            if inject_pct > 0:
+                failed = ([b for b in range(batch.n_valid)
+                           if np.random.default_rng(
+                               (seed, b)).random() < inject_pct / 100.0]
+                          if t_i == 1 else [])
+            else:
+                failed = [b for b in range(batch.n_valid)
+                          if self._row_needs_fallback(tokens[b], avg_lp[b],
+                                                      no_speech[b])]
             if not failed:
                 break
             logger.debug("temperature fallback t=%.1f for %d/%d rows",

@@ -53,10 +53,20 @@ def load_model(model_name: str, checkpoint: Optional[str] = None,
                    "(text output will not be meaningful)", model_name)
     # ONE jitted program for the whole init: eager per-leaf dispatch pays
     # a tunnel round trip per op (~0.5 s × ~44 ops ≈ 22 s of engine
-    # startup measured on the axon backend, 2026-08-19)
+    # startup measured on the axon backend, 2026-08-19). The key uses the
+    # TPU's hardware RNG ("rbg") instead of default threefry: the
+    # threefry init program for turbo took 64 s to compile and ~32 s to
+    # LOAD from the persistent cache per process, vs 6 s / ~2 s for rbg
+    # (measured same-day A/B, ADR-002 round 5) — random init is a
+    # bench/plumbing path, so counter-based reproducibility guarantees
+    # don't matter, only the distribution.
     import functools
+    try:
+        key = jax.random.key(0, impl="rbg")
+    except Exception:                        # older jax / odd backends
+        key = jax.random.PRNGKey(0)
     params = jax.jit(functools.partial(init_params, config, dtype=dtype))(
-        jax.random.PRNGKey(0))
+        key)
     return config, params
 
 
