@@ -1,0 +1,152 @@
+"""CLI resident-engine routing (--daemon, pipelines/daemon_client.py).
+
+The daemon is stubbed at the HTTP layer: these tests verify the
+fingerprint contract, the fallback behavior, and that the CLI writes a
+real SRT from daemon cues WITHOUT building an engine in-process.
+"""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from whisperjav_tpu.config.presets import resolve_pipeline_config
+from whisperjav_tpu.pipelines import daemon_client
+
+
+def _stub_server(fingerprint, cues):
+    class H(BaseHTTPRequestHandler):
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json({"status": "ok", **fingerprint})
+            else:
+                self._json({"error": "nope"}, 404)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(n))
+            assert req.get("format") == "json"
+            self._json({"cues": cues, "stats": {"audio_s": 3.0}})
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+CUES = [{"index": 1, "start": 0.5, "end": 1.8, "text": "こんにちは"},
+        {"index": 2, "start": 2.0, "end": 3.0, "text": "テスト"}]
+
+
+def _cfg(**kw):
+    base = dict(mode="balanced", sensitivity="balanced", language="ja",
+                model=None, batch_size=8)
+    base.update(kw)
+    return resolve_pipeline_config(**base)
+
+
+def _fp(cfg):
+    return {"mode": cfg.mode.name, "sensitivity": cfg.sensitivity.name,
+            "model": cfg.model, "language": cfg.language,
+            "batch_size": cfg.batch_size}
+
+
+def test_find_daemon_matches_fingerprint():
+    cfg = _cfg()
+    srv, port = _stub_server(_fp(cfg), CUES)
+    try:
+        assert daemon_client.find_daemon(cfg, port) is not None
+    finally:
+        srv.shutdown()
+
+
+def test_find_daemon_rejects_mismatch():
+    cfg = _cfg()
+    wrong = dict(_fp(cfg), model="large-v2")
+    srv, port = _stub_server(wrong, CUES)
+    try:
+        assert daemon_client.find_daemon(cfg, port) is None
+    finally:
+        srv.shutdown()
+
+
+def test_find_daemon_no_server():
+    assert daemon_client.find_daemon(_cfg(), port=1) is None
+
+
+def test_client_transcribe_builds_subtitles(tmp_path):
+    cfg = _cfg()
+    srv, port = _stub_server(_fp(cfg), CUES)
+    try:
+        client = daemon_client.DaemonClient(port)
+        subs, stats = client.transcribe(tmp_path / "x.wav")
+        assert [s.text for s in subs] == ["こんにちは", "テスト"]
+        assert subs[0].start == 0.5 and stats["audio_s"] == 3.0
+    finally:
+        srv.shutdown()
+
+
+def test_cli_daemon_routes_and_writes_srt(tmp_path, monkeypatch):
+    """Full CLI drive: --daemon + matching stub → SRT written from the
+    daemon's cues, no in-process engine construction."""
+    from whisperjav_tpu.modules.audio_io import write_wav
+    wav = tmp_path / "clip.wav"
+    write_wav(wav, (0.05 * np.random.default_rng(0)
+                    .standard_normal(16000)).astype(np.float32), 16000)
+
+    cfg = _cfg(batch_size=8)
+    srv, port = _stub_server(_fp(cfg), CUES)
+
+    import whisperjav_tpu.pipelines.factory as factory
+
+    def boom(*a, **k):
+        raise AssertionError("daemon mode must not build a pipeline")
+
+    monkeypatch.setattr(factory, "build_pipeline", boom)
+
+    from whisperjav_tpu.cli import main
+    out = tmp_path / "out"
+    try:
+        rc = main([str(wav), "--mode", "balanced", "--daemon",
+                   "--daemon-port", str(port),
+                   "--output-dir", str(out), "--no-signature"])
+    finally:
+        srv.shutdown()
+    assert rc == 0
+    srt = out / "clip.ja.whisperjav.srt"
+    assert srt.exists()
+    text = srt.read_text(encoding="utf-8")
+    assert "こんにちは" in text and "00:00:00,500" in text
+
+
+def test_cli_daemon_qwen_falls_through(tmp_path, capsys, monkeypatch):
+    """--daemon with qwen mode warns and continues in-process (stubbed
+    here by letting the pipeline build raise a sentinel)."""
+    from whisperjav_tpu.modules.audio_io import write_wav
+    wav = tmp_path / "clip.wav"
+    write_wav(wav, np.zeros(1600, np.float32), 16000)
+
+    sentinel = RuntimeError("in-process path reached")
+    import whisperjav_tpu.modules.subtitle_pipeline.components as comp
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise sentinel
+
+    monkeypatch.setattr(comp, "QwenGenerator", Boom)
+    from whisperjav_tpu.cli import main
+    with pytest.raises(RuntimeError, match="in-process path reached"):
+        main([str(wav), "--mode", "qwen", "--daemon",
+              "--output-dir", str(tmp_path / "o")])

@@ -80,12 +80,12 @@ def test_encode_ahead_passes_pre_encoded_batches(monkeypatch):
     orig_eb = TranscriptionEngine.encode_batch
 
     def spy_tb(self, batch, seed=0, device_audio=None, device_xa=None,
-               on_decode_dispatched=None, trace=None):
+               on_decode_dispatched=None, trace=None, **kw):
         events.append(("batch", device_xa is not None))
         return orig_tb(self, batch, seed=seed, device_audio=device_audio,
                        device_xa=device_xa,
                        on_decode_dispatched=on_decode_dispatched,
-                       trace=trace)
+                       trace=trace, **kw)
 
     def spy_de(self, xa, temperature=0.0, seed=0):
         events.append(("decode",))
@@ -140,9 +140,10 @@ def test_decode_ahead_dispatch_order(monkeypatch):
     orig_fb = TranscriptionEngine.finish_batch
     orig_de = TranscriptionEngine.decode_encoded
 
-    def spy_fb(self, batch, xa, result, seed=0, trace=None):
+    def spy_fb(self, batch, xa, result, seed=0, trace=None, **kw):
         events.append("finish")
-        return orig_fb(self, batch, xa, result, seed=seed, trace=trace)
+        return orig_fb(self, batch, xa, result, seed=seed, trace=trace,
+                       **kw)
 
     def spy_de(self, xa, temperature=0.0, seed=0):
         events.append("decode")

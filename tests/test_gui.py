@@ -103,6 +103,24 @@ def test_build_args_skips_empty():
     assert "--checkpoint" not in argv
 
 
+def test_build_args_daemon_default():
+    """GUI jobs default to the resident engine (--daemon) — each spawned
+    CLI process would otherwise re-pay the first-batch compile/load wall
+    (ADR-002 round 5). Explicit daemon:false opts out; ensemble and qwen
+    modes never get it (unsupported by the daemon router)."""
+    assert "--daemon" in build_args({"inputs": "/x.wav",
+                                     "mode": "balanced"})
+    assert "--daemon" not in build_args({"inputs": "/x.wav",
+                                         "mode": "balanced",
+                                         "daemon": False})
+    assert "--daemon" in build_args({"inputs": "/x.wav",
+                                     "mode": "fast", "daemon": True})
+    assert "--daemon" not in build_args({"inputs": "/x.wav",
+                                         "ensemble": True})
+    assert "--daemon" not in build_args({"inputs": "/x.wav",
+                                         "mode": "qwen"})
+
+
 def test_schema_complete():
     s = schema()
     assert "balanced" in s["modes"]
@@ -253,7 +271,11 @@ def test_queue_real_cli_e2e(tmp_path):
             data=json.dumps({"inputs": str(tmp_path / "*.wav"),
                              "mode": "faster", "model": "tiny",
                              "output_dir": str(out_dir),
-                             "batch_size": 4}).encode(),
+                             "batch_size": 4,
+                             # in-process engine: the test asserts the
+                             # direct CLI path; daemon routing has its
+                             # own suite (tests/test_daemon.py)
+                             "daemon": False}).encode(),
             headers={"Content-Type": "application/json"})
         r = json.loads(urllib.request.urlopen(req).read())
         assert r["ok"] and len(r["jobs"]) == 2

@@ -383,6 +383,14 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="jax.distributed coordinator address")
     p.add_argument("--num-hosts", type=int, default=None)
     p.add_argument("--host-id", type=int, default=None)
+    p.add_argument("--daemon", action="store_true",
+                   help="route decoding through a resident whisperjav-serve "
+                        "engine (autostarted when none is running): repeat "
+                        "invocations skip the per-process first-batch "
+                        "compile/load wall — the fast path for one-file-at-"
+                        "a-time workflows and the GUI")
+    p.add_argument("--daemon-port", type=int, default=8478,
+                   help="port of the resident engine (--daemon)")
     p.add_argument("--async-processing", action="store_true",
                    help="overlap host preprocessing with device decode")
     p.add_argument("--max-workers", type=int, default=2,
@@ -880,6 +888,63 @@ def main(argv: Optional[List[str]] = None) -> int:
             srt_to_vtt(srt_path)
             if output_format == "vtt":
                 srt_path.unlink()
+
+    if args.daemon and not args.ensemble and cfg.mode.name != "qwen":
+        # Resident-engine routing: skip the per-process first-batch
+        # compile/load wall (140-500 s measured, ADR-002 round 5) by
+        # decoding through a hot whisperjav-serve engine. The daemon owns
+        # scenes/VAD/decode/sanitize under ITS config (fingerprint-matched
+        # in find_daemon); this process only discovers media, writes
+        # outputs, and runs signatures/translate/VTT.
+        from whisperjav_tpu.pipelines.daemon_client import get_daemon
+        client = get_daemon(cfg, port=args.daemon_port,
+                            checkpoint=checkpoint)
+        if client is not None:
+            from whisperjav_tpu.modules.srt import compose_srt
+            batch_stats = []
+            failures = 0
+            t_start = time.time()
+            for m in media:
+                try:
+                    t0 = time.time()
+                    subs, stats = client.transcribe(m.path)
+                    out_dir_m = out_for(m)
+                    out_dir_m.mkdir(parents=True, exist_ok=True)
+                    srt_path = (out_dir_m /
+                                f"{m.basename}.{out_lang}.whisperjav.srt")
+                    srt_path.write_text(compose_srt(subs),
+                                        encoding="utf-8")
+                    _finalize_outputs(srt_path)
+                    wall = time.time() - t0
+                    audio_s = float(stats.get("audio_s", 0.0) or 0.0)
+                    logger.info(
+                        "wrote %s (%d subtitles, daemon, RTF %.2fx)",
+                        srt_path.name, len(subs),
+                        audio_s / wall if wall > 0 else 0.0)
+                    batch_stats.append({"file": str(m.path),
+                                        "output": str(srt_path),
+                                        "wall_s": round(wall, 2),
+                                        **stats})
+                except Exception as e:  # keep the batch going
+                    logger.error("daemon transcribe failed on %s: %s",
+                                 m.path.name, e)
+                    failures += 1
+            summary = {"files": len(media), "failures": failures,
+                       "wall_s": round(time.time() - t_start, 2),
+                       "daemon_port": args.daemon_port,
+                       "results": batch_stats}
+            if args.stats_file:
+                Path(args.stats_file).write_text(
+                    json.dumps(summary, indent=2, default=str),
+                    encoding="utf-8")
+            logger.info("done (daemon): %d file(s), %d failure(s), %.1fs",
+                        len(media), failures, summary["wall_s"])
+            return 0 if failures == 0 else 2
+        logger.warning("--daemon requested but no resident engine is "
+                       "available; continuing in-process")
+    elif args.daemon:
+        logger.warning("--daemon supports the standard pipeline modes only "
+                       "(not ensemble/qwen); continuing in-process")
 
     if args.ensemble:
         from whisperjav_tpu.ensemble.orchestrator import EnsembleOrchestrator

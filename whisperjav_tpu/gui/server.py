@@ -86,9 +86,17 @@ def build_args(options: Dict) -> List[str]:
                       ("no_signature", "--no-signature"),
                       ("word_timestamps", "--word-timestamps"),
                       ("int8_weights", "--int8-weights"),
-                      ("no_vad", "--no-vad")]:
+                      ("no_vad", "--no-vad"),
+                      ("daemon", "--daemon")]:
         if options.get(key):
             argv.append(flag)
+    # the GUI spawns one CLI process per job (reference architecture,
+    # webview_gui/api.py:350); on tunneled TPU hosts each fresh process
+    # pays a 140-500 s first-batch wall, so GUI jobs default to the
+    # resident engine (--daemon) unless the user opts out
+    if ("daemon" not in options and not options.get("ensemble")
+            and options.get("mode") != "qwen"):
+        argv.append("--daemon")
     return argv
 
 

@@ -333,6 +333,7 @@ class TranscriptionEngine:
                          device_xa: Optional[jax.Array] = None,
                          on_decode_dispatched=None,
                          trace: Optional[dict] = None,
+                         defer_pool: Optional[list] = None,
                          ) -> List[List[DecodedSegment]]:
         """Decode one padded batch with the temperature fallback ladder.
 
@@ -365,17 +366,30 @@ class TranscriptionEngine:
         if trace is not None:
             trace.update(encode_s=t_enc - t0, dispatch_s=t_disp - t_enc,
                          ahead_s=t_ahead - t_disp)
-        return self.finish_batch(batch, xa, result, seed, trace=trace)
+        return self.finish_batch(batch, xa, result, seed, trace=trace,
+                                 defer_pool=defer_pool)
 
     # ------------------------------------------------------------------
     def finish_batch(self, batch: WindowBatch, xa, result: DecodeResult,
                      seed: int = 0, trace: Optional[dict] = None,
+                     defer_pool: Optional[list] = None,
                      ) -> List[List[DecodedSegment]]:
         """Drain a dispatched first-rung decode, run the temperature
         ladder on failed rows, extract segments. Split out of
         :meth:`transcribe_batch` so the decode-ahead loop
         (:meth:`transcribe_windows`) can dispatch batch i+1's encode AND
-        decode before blocking here on batch i's tokens."""
+        decode before blocking here on batch i's tokens.
+
+        ``defer_pool``: when given, rows failing the rung-1 quality gates
+        are NOT retried inline (the reference ladder re-decodes the whole
+        batch per rung, `faster_whisper.py:236-356` semantics) — they are
+        appended to the pool as pending records and their slot in the
+        returned list is ``None``. :meth:`transcribe_windows` re-packs
+        the pool into dedicated retry batches at the END of the file, so
+        at a realistic failure rate (a few % of rows) the ladder costs
+        one extra decode execution per ~batch_size failed rows instead of
+        one whole-batch re-decode per batch that contains any failed row
+        (at 5%/row and B=32, 81% of batches contain ≥1 failure)."""
         import time as _time
         th = self.thresholds
         temps = th.temperatures
@@ -408,12 +422,33 @@ class TranscriptionEngine:
         # ladder semantics: faster_whisper.py:236-356).
         import os as _os
         inject_pct = float(_os.environ.get("WJAV_GATE_FAIL_PCT", "0") or 0)
-        for t_i, temp in enumerate(temps[1:], start=1):
+
+        def _rung1_failed() -> list:
             if inject_pct > 0:
-                failed = ([b for b in range(batch.n_valid)
-                           if np.random.default_rng(
-                               (seed, b)).random() < inject_pct / 100.0]
-                          if t_i == 1 else [])
+                return [b for b in range(batch.n_valid)
+                        if np.random.default_rng(
+                            (seed, b)).random() < inject_pct / 100.0]
+            return [b for b in range(batch.n_valid)
+                    if self._row_needs_fallback(tokens[b], avg_lp[b],
+                                                no_speech[b])]
+
+        deferred_rows: set = set()
+        if defer_pool is not None and len(temps) > 1:
+            for b in _rung1_failed():
+                defer_pool.append({
+                    "window": batch.windows[b],
+                    "tokens": np.array(tokens[b]),
+                    "avg_lp": float(avg_lp[b]),
+                    "no_speech": float(no_speech[b]),
+                    "injected": inject_pct > 0,
+                })
+                deferred_rows.add(b)
+            temps = temps[:1]           # inline ladder skipped entirely
+        for t_i, temp in enumerate(temps[1:], start=1):
+            if t_i == 1:
+                failed = _rung1_failed()
+            elif inject_pct > 0:
+                failed = []      # injected failures retry exactly once
             else:
                 failed = [b for b in range(batch.n_valid)
                           if self._row_needs_fallback(tokens[b], avg_lp[b],
@@ -444,6 +479,9 @@ class TranscriptionEngine:
         out: List[List[DecodedSegment]] = []
         for b in range(batch.n_valid):
             w = batch.windows[b]
+            if b in deferred_rows:
+                out.append(None)        # resolved in _retry_deferred
+                continue
             # no-speech gate: whisper convention — skip only when BOTH the
             # no-speech prob is high and the decode is low-confidence
             if (no_speech[b] > th.no_speech_threshold
@@ -512,6 +550,103 @@ class TranscriptionEngine:
                     seg.end = max(new_end, seg.start + 0.05)
 
     # ------------------------------------------------------------------
+    def _retry_deferred(self, pool: list, seed: int,
+                        ) -> List[Tuple[Window, List[DecodedSegment]]]:
+        """Run the temperature ladder over the file-wide deferred-failure
+        pool (see :meth:`finish_batch`). Per-row semantics match the
+        inline ladder: each rung decodes the still-failing rows at
+        ``temperatures[t_i]``, a row adopts the retry iff its avg logprob
+        improved, a row exits when it passes the gates, and the ladder
+        bails when a rung improves nothing. Rows are re-encoded in packed
+        retry batches — encoder cost is ~15% of a decode, and it keeps
+        zero extra encoder state resident across the main loop."""
+        import time as _time
+        th = self.thresholds
+        temps = th.temperatures
+        t0 = _time.time()
+        active = list(pool)
+        rungs_run = 0
+        for t_i, temp in enumerate(temps[1:], start=1):
+            if not active:
+                break
+            rungs_run = t_i
+            by_id = {id(rec["window"]): rec for rec in active}
+            improved_any = False
+            for rb in batch_windows([rec["window"] for rec in active],
+                                    self.batch_size):
+                max_dur = max((w.duration for w in rb.windows),
+                              default=30.0)
+                xa = self.encode_batch(rb.audio, max_duration=max_dur)
+                res = self.decode_encoded(xa, temp, seed + 7919 * t_i)
+                r_tokens = np.asarray(res.tokens)
+                r_avg = np.asarray(res.avg_logprob)
+                for b in range(rb.n_valid):
+                    rec = by_id[id(rb.windows[b])]
+                    if r_avg[b] > rec["avg_lp"]:
+                        rec["tokens"] = np.array(r_tokens[b])
+                        rec["avg_lp"] = float(r_avg[b])
+                        improved_any = True
+            still = []
+            for rec in active:
+                if rec.pop("injected", False):
+                    continue             # injected failures retry once
+                if self._row_needs_fallback(rec["tokens"], rec["avg_lp"],
+                                            rec["no_speech"]):
+                    still.append(rec)
+            active = still
+            if not improved_any:
+                break
+
+        out: List[Tuple[Window, List[DecodedSegment]]] = []
+        segs_by_id: dict = {}
+        for rec in pool:
+            w = rec["window"]
+            if (rec["no_speech"] > th.no_speech_threshold
+                    and rec["avg_lp"] < th.logprob_threshold):
+                out.append((w, []))
+                continue
+            segs = extract_segments(
+                rec["tokens"], self.config, self.options,
+                window_duration=w.duration,
+                avg_logprob=rec["avg_lp"],
+                no_speech_prob=rec["no_speech"])
+            for s in segs:
+                s.text = self.tokenizer.decode(s.tokens)
+            out.append((w, segs))
+            segs_by_id[id(w)] = segs
+
+        if self.word_timestamps and segs_by_id:
+            # one refinement pass per retry batch with freshly-encoded xa;
+            # rows are padded to a common token length with EOT (ignored
+            # by the teacher-forced alignment pass beyond the row's EOT)
+            for rb in batch_windows([rec["window"] for rec in pool],
+                                    self.batch_size):
+                recs = {id(rec["window"]): rec for rec in pool}
+                max_dur = max((w.duration for w in rb.windows),
+                              default=30.0)
+                xa = self.encode_batch(rb.audio, max_duration=max_dur)
+                t_len = max(len(recs[id(w)]["tokens"])
+                            for w in rb.windows)
+                tok = np.full((rb.batch_size, t_len), self.config.eot,
+                              np.int32)
+                for b, w in enumerate(rb.windows):
+                    row = recs[id(w)]["tokens"]
+                    tok[b, :len(row)] = row
+                row_out = [segs_by_id.get(id(w), [])
+                           for w in rb.windows]
+                self._refine_with_word_alignment(xa, tok, rb, row_out)
+
+        if pool:
+            wall = _time.time() - t0
+            logger.info("deferred retry: %d row(s), %d rung(s), %.1fs",
+                        len(pool), rungs_run, wall)
+            if getattr(self, "batch_trace", None):
+                self.batch_trace.append({
+                    "retry_rows": len(pool), "rungs": rungs_run + 1,
+                    "ladder_s": wall, "batch_s": wall})
+        return out
+
+    # ------------------------------------------------------------------
     def _decode_ahead_bytes(self) -> int:
         """Worst-case resident bytes for ONE in-flight decode execution:
         cross-KV + self-KV cache + encoder states (weights are shared).
@@ -565,6 +700,9 @@ class TranscriptionEngine:
         import time as _time
         ahead_on = os.environ.get("WJAV_ENCODE_AHEAD", "1") != "0"
         trace_on = os.environ.get("WJAV_TRACE_BATCHES", "0") != "0"
+        defer_on = (os.environ.get("WJAV_DEFER_RETRY", "1") != "0"
+                    and len(self.thresholds.temperatures) > 1)
+        pool: Optional[list] = [] if defer_on else None
         self.batch_trace: List[dict] = []
         results: List[Tuple[Window, List[DecodedSegment]]] = []
         batches = list(batch_windows(windows, self.batch_size))
@@ -627,9 +765,11 @@ class TranscriptionEngine:
                 if prev is not None:
                     p_batch, p_xa, p_res, p_seed, p_trace, p_t0, p_bi = prev
                     segs = self.finish_batch(p_batch, p_xa, p_res, p_seed,
-                                             trace=p_trace)
+                                             trace=p_trace, defer_pool=pool)
                     _record(p_trace, p_batch, p_t0, p_bi)
-                    results.extend(zip(p_batch.windows, segs))
+                    results.extend(
+                        (w, s) for w, s in zip(p_batch.windows, segs)
+                        if s is not None)
                 prev = (batch, xa_i, res_i, seed + bi * 131, trace,
                         t_b0, bi)
                 dev = nxt
@@ -637,9 +777,12 @@ class TranscriptionEngine:
             if prev is not None:
                 p_batch, p_xa, p_res, p_seed, p_trace, p_t0, p_bi = prev
                 segs = self.finish_batch(p_batch, p_xa, p_res, p_seed,
-                                         trace=p_trace)
+                                         trace=p_trace, defer_pool=pool)
                 _record(p_trace, p_batch, p_t0, p_bi)
-                results.extend(zip(p_batch.windows, segs))
+                results.extend((w, s) for w, s in zip(p_batch.windows, segs)
+                               if s is not None)
+            if pool:
+                results.extend(self._retry_deferred(pool, seed))
             results.sort(key=lambda p: (p[0].scene_idx, p[0].group_idx))
             return results
 
@@ -665,13 +808,16 @@ class TranscriptionEngine:
                 batch, seed=seed + bi * 131, device_audio=dev,
                 device_xa=xa,
                 on_decode_dispatched=_encode_ahead if ahead_on else None,
-                trace=trace)
+                trace=trace, defer_pool=pool)
             if trace is not None:
                 trace["upload_s"] = pending_upload_s
             _record(trace, batch, t_b0, bi)
-            results.extend(zip(batch.windows, segs))
+            results.extend((w, s) for w, s in zip(batch.windows, segs)
+                           if s is not None)
             dev = nxt
             xa = nxt_holder.get("xa")
             pending_upload_s = t_upload
+        if pool:
+            results.extend(self._retry_deferred(pool, seed))
         results.sort(key=lambda p: (p[0].scene_idx, p[0].group_idx))
         return results

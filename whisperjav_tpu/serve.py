@@ -172,9 +172,14 @@ class Handler(BaseHTTPRequestHandler):
         if self.path == "/health":
             import jax
             dev = jax.devices()[0]
-            self._json({"status": "ok",
-                        "model": SERVICE.pipeline.engine.config.name,
-                        "device": f"{dev.platform}:{dev.device_kind}"})
+            body = {"status": "ok",
+                    "model": SERVICE.pipeline.engine.config.name,
+                    "device": f"{dev.platform}:{dev.device_kind}"}
+            # config fingerprint: the CLI's --daemon router only reuses a
+            # daemon whose settings match the invocation
+            # (pipelines/daemon_client.py)
+            body.update(getattr(SERVICE, "fingerprint", {}))
+            self._json(body)
         else:
             self._json({"error": "not found"}, 404)
 
@@ -261,6 +266,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     global SERVICE
     SERVICE = TranscriptionService(pipeline, args.language,
                                    linger_ms=args.coalesce_ms)
+    SERVICE.fingerprint = {
+        "mode": cfg.mode.name, "sensitivity": cfg.sensitivity.name,
+        "model": cfg.model, "language": cfg.language,
+        "batch_size": cfg.batch_size,
+    }
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     logger.info("whisperjav-serve: http://%s:%d (model %s, hot engine)",
