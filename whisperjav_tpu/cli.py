@@ -917,6 +917,29 @@ def main(argv: Optional[List[str]] = None) -> int:
                     _finalize_outputs(srt_path)
                     wall = time.time() - t0
                     audio_s = float(stats.get("audio_s", 0.0) or 0.0)
+                    # same per-file metadata contract as the in-process
+                    # path (transcribe.py), so downstream tooling
+                    # (e2e_bench, analytics, users' scripts) works
+                    # identically under --daemon; client-side wall
+                    # recorded alongside the daemon's own stats
+                    stats = dict(stats)
+                    stats["daemon_client_wall_s"] = round(wall, 3)
+                    # client-observed per-file wall is the number a
+                    # --daemon user experiences; the daemon's own
+                    # stage walls stay inside stats untouched
+                    stats.setdefault("e2e_wall_s", round(wall, 3))
+                    stats["e2e_rtf_x"] = round(
+                        audio_s / max(wall, 1e-9), 2)
+                    stats.setdefault("final_subtitles", len(subs))
+                    meta_path = (out_dir_m /
+                                 f"{m.basename}.whisperjav.json")
+                    meta_path.write_text(
+                        json.dumps({"input": str(m.path),
+                                    "duration_s": audio_s,
+                                    "output": str(srt_path),
+                                    "stats": stats},
+                                   indent=2, default=str),
+                        encoding="utf-8")
                     logger.info(
                         "wrote %s (%d subtitles, daemon, RTF %.2fx)",
                         srt_path.name, len(subs),
