@@ -17,6 +17,7 @@ ensemble pass per device in its parallel Kaggle notebook
 cross-host scaling for this workload to file-set sharding over DCN.
 """
 
+import os
 import socket
 import subprocess
 import sys
@@ -57,6 +58,19 @@ def _wav(tmp_path, name, seconds=3.0):
     return p
 
 
+def _child_env() -> dict:
+    """Env for spawned children. The in-script os.environ pins are too
+    late here: a sitecustomize hook imports jax at interpreter start, so
+    platform/device-count must arrive via the PROCESS environment (the
+    parent pytest env carries device_count=8, which would give the two
+    children 16 global devices and break the 1-row-per-process arrays)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    return env
+
+
 # ------------------------------------------------- distributed smoke
 
 _CHILD = """
@@ -94,7 +108,8 @@ def test_two_process_distributed_smoke(tmp_path):
 
     procs = [subprocess.Popen(
         [sys.executable, str(script), coord, str(pid)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=_child_env())
         for pid in (0, 1)]
     outs = []
     for p in procs:
@@ -164,7 +179,8 @@ def test_two_process_cli_transcribe_disjoint(tmp_path):
     procs = [subprocess.Popen(
         [sys.executable, str(script), coord, str(pid), str(tmp_path),
          str(out)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=_child_env())
         for pid in (0, 1)]
     for p in procs:
         try:
@@ -187,7 +203,8 @@ def test_two_process_cli_transcribe_disjoint(tmp_path):
     rerun = [subprocess.Popen(
         [sys.executable, str(script), f"localhost:{port2}", str(pid),
          str(tmp_path), str(out)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=_child_env())
         for pid in (0, 1)]
     for p in rerun:
         try:

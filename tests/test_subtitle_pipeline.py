@@ -367,3 +367,91 @@ class TestCohereStyleGenerator:
         dur = len(audio) / SR
         for s in outputs[0].subtitles:
             assert 0 <= s.start <= s.end <= dur + 1e-6
+
+
+# ------------------------------------------- cross-scene pooled batching
+
+
+class TestPooledScenes:
+    """ADR-002 round 5: device work batches ACROSS scenes; results must
+    match the scene-sequential path exactly for deterministic
+    components."""
+
+    def _pipe(self):
+        from whisperjav_tpu.models.qwen.aligner import (
+            AlignerConfig, ForcedAligner,
+        )
+        tiny = ForcedAligner(AlignerConfig(n_layers=2, d_model=64,
+                                           n_heads=4))
+        return DecoupledSubtitlePipeline(
+            framer=VadGroupedFramer(vad_backend="energy"),
+            generator=_FakeGenerator(),
+            cleaner=AssemblyTextCleaner(),
+            aligner=QwenAlignerAdapter(aligner=tiny),
+            max_group_s=3.0,
+        )
+
+    def test_pooled_matches_sequential(self, monkeypatch):
+        scenes = [
+            np.concatenate([speech_like(2), np.zeros(SR // 2, np.float32),
+                            speech_like(2, 1)]),
+            speech_like(3, 2),
+        ]
+        monkeypatch.setenv("WJAV_POOL_SCENES", "0")
+        seq = self._pipe().process_scenes(scenes, SR)
+        monkeypatch.setenv("WJAV_POOL_SCENES", "1")
+        pooled = self._pipe().process_scenes(scenes, SR)
+        assert len(seq) == len(pooled) == 2
+        for a, b in zip(seq, pooled):
+            assert [(s.text, round(s.start, 3), round(s.end, 3))
+                    for s in a.subtitles] \
+                == [(s.text, round(s.start, 3), round(s.end, 3))
+                    for s in b.subtitles]
+            da, db = a.diagnostics, b.diagnostics
+            assert da.frames == db.frames
+            assert da.collapsed_frames == db.collapsed_frames
+            assert da.aligned_words == db.aligned_words
+            assert da.generated_chars == db.generated_chars
+
+    def test_pooled_stage_walls_cover_all_steps(self, monkeypatch):
+        monkeypatch.setenv("WJAV_POOL_SCENES", "1")
+        outs = self._pipe().process_scenes(
+            [speech_like(2), speech_like(2, 1)], SR)
+        total = {}
+        for o in outs:
+            for k, v in o.diagnostics.stage_s.items():
+                total[k] = total.get(k, 0.0) + v
+        for step in ("frame", "generate", "clean", "align", "assemble"):
+            assert step in total
+
+    def test_pooled_empty_scene(self, monkeypatch):
+        monkeypatch.setenv("WJAV_POOL_SCENES", "1")
+        outs = self._pipe().process_scenes(
+            [np.zeros(SR, np.float32), speech_like(2)], SR)
+        assert len(outs) == 2
+        assert outs[0].diagnostics.frames == 0
+
+
+def test_aligner_batch_composition_invariance():
+    """Masked fixed-shape batching must make co-batched rows inert:
+    the same clip aligns identically regardless of which other clips
+    share its device batch (the property that makes bucketing safe)."""
+    from whisperjav_tpu.models.qwen.aligner import (
+        AlignerConfig, ForcedAligner,
+    )
+    tiny = ForcedAligner(AlignerConfig(n_layers=2, d_model=64, n_heads=4))
+    ad = QwenAlignerAdapter(aligner=tiny)
+    a = speech_like(1.5, 3)
+    b = speech_like(2.8, 4)
+    texts = ["こんにちは世界", "ありがとうございます"]
+    r1 = ad.align_batch([a, b], SR, texts)
+    r2 = ad.align_batch([b, a, a], SR, [texts[1], texts[0], texts[0]])
+    w_a1 = [(w.word, w.start, w.end) for w in r1[0].words]
+    w_a2 = [(w.word, w.start, w.end) for w in r2[1].words]
+    w_b1 = [(w.word, w.start, w.end) for w in r1[1].words]
+    w_b2 = [(w.word, w.start, w.end) for w in r2[0].words]
+    assert w_a1 == w_a2
+    assert w_b1 == w_b2
+    assert w_a1 and w_b1
+    for _, s, e in w_a1:
+        assert 0 <= s <= e <= 2.0 + 1e-6

@@ -84,7 +84,12 @@ def init_params(cfg: AlignerConfig, key: jax.Array,
     }
 
 
-def _block(x, p, n_heads, theta):
+def _block(x, p, n_heads, theta, mask=None):
+    """Transformer block; ``mask`` (B, T) True at VALID positions.
+
+    Masking padded keys keeps bucketed batch results identical to
+    tight-padded per-clip results (up to conv edge frames) — the
+    property that makes fixed-shape bucketing a free lunch on TPU."""
     b, t, d = x.shape
     h = rms_norm(x, p["ln1"], 1e-6)
     pos = jnp.arange(t)
@@ -92,9 +97,11 @@ def _block(x, p, n_heads, theta):
     k = rope(_dense(h, p["wk"]).reshape(b, t, n_heads, -1), pos, theta)
     v = _dense(h, p["wv"]).reshape(b, t, n_heads, -1)
     scale = q.shape[-1] ** -0.5
-    a = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
-                                  preferred_element_type=jnp.float32),
-                       axis=-1).astype(v.dtype)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    a = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", a, v,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     x = x + _dense(o.reshape(b, t, d), p["wo"])
@@ -105,8 +112,16 @@ def _block(x, p, n_heads, theta):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def similarity(params: Dict, cfg: AlignerConfig, mel: jax.Array,
-               tokens: jax.Array) -> jax.Array:
-    """mel (B, n_mels, T_mel), tokens (B, N) → logits (B, N, T_mel/4)."""
+               tokens: jax.Array,
+               mel_valid: Optional[jax.Array] = None,
+               tok_valid: Optional[jax.Array] = None) -> jax.Array:
+    """mel (B, n_mels, T_mel), tokens (B, N) → logits (B, N, T_mel/4).
+
+    ``mel_valid``/``tok_valid`` (B,) give true lengths so padded audio
+    frames / pad tokens are masked out of attention — required for
+    bucketed fixed-shape batching (ADR-002 round 5: the per-frame
+    dynamic-shape path recompiled per (T, N) pair and spent 1,011 s of
+    a 1,456 s qwen-mode file on alignment)."""
     def conv(x, w, b, stride):
         out = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(stride,),
@@ -120,14 +135,24 @@ def similarity(params: Dict, cfg: AlignerConfig, mel: jax.Array,
                     approximate=False)
     a = jnp.swapaxes(a, 1, 2)
 
+    t_frames = a.shape[1]
+    amask = (None if mel_valid is None else
+             jnp.arange(t_frames)[None, :]
+             < ((mel_valid[:, None] + 3) // 4))
+    tmask = (None if tok_valid is None else
+             jnp.arange(tokens.shape[1])[None, :] < tok_valid[:, None])
+
     def abody(h, lp):
-        return _block(h, lp, cfg.n_heads, cfg.rope_theta), None
+        return _block(h, lp, cfg.n_heads, cfg.rope_theta, amask), None
 
     a, _ = jax.lax.scan(abody, a, params["audio_blocks"])
     a = rms_norm(a, params["audio_ln"], 1e-6)
 
+    def tbody(h, lp):
+        return _block(h, lp, cfg.n_heads, cfg.rope_theta, tmask), None
+
     t = params["tok_emb"][tokens]
-    t, _ = jax.lax.scan(abody, t, params["text_blocks"])
+    t, _ = jax.lax.scan(tbody, t, params["text_blocks"])
     t = rms_norm(t, params["text_ln"], 1e-6)
 
     a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-6)
@@ -155,22 +180,27 @@ def monotonic_align(log_probs: np.ndarray) -> List[Tuple[int, int]]:
         bounds = np.linspace(0, t, n + 1).astype(int)
         return [(bounds[i], max(bounds[i + 1], bounds[i] + 1))
                 for i in range(n)]
+    # column sweep, vectorized over tokens: q[:, j] depends only on
+    # q[:, j-1] (stay) and its one-down shift (diag), so the DP runs in
+    # T numpy vector ops instead of N*T Python iterations (the scalar
+    # loop cost ~0.1 s per frame at N~200 — material at 300+ frames/file)
     neg = -1e30
+    lp = np.asarray(log_probs, np.float64)
     q = np.full((n, t), neg, np.float64)
     back = np.zeros((n, t), np.int8)   # 1 = came from i-1 (new token)
-    q[0, 0] = log_probs[0, 0]
+    q[0, 0] = lp[0, 0]
+    prev = q[:, 0]
     for j in range(1, t):
-        q[0, j] = q[0, j - 1] + log_probs[0, j]
-    for i in range(1, n):
-        prev_diag = q[i - 1, i - 1: t - 1]
-        for j in range(i, t):
-            stay = q[i, j - 1] if j > i else neg
-            diag = q[i - 1, j - 1]
-            if diag >= stay:
-                q[i, j] = diag + log_probs[i, j]
-                back[i, j] = 1
-            else:
-                q[i, j] = stay + log_probs[i, j]
+        diag = np.empty(n, np.float64)
+        diag[0] = neg            # row 0 can only stay
+        diag[1:] = prev[:-1]
+        take_diag = diag >= prev
+        col = np.where(take_diag, diag, prev) + lp[:, j]
+        col[0] = prev[0] + lp[0, j]      # row 0: stay only
+        back[:, j] = take_diag
+        back[0, j] = 0
+        q[:, j] = col
+        prev = col
     # backtrack
     spans = [[0, 0] for _ in range(n)]
     i, j = n - 1, t - 1
@@ -208,6 +238,50 @@ class ForcedAligner:
         spans = monotonic_align(lp)
         return [TokenSpan(int(t), a * FRAME_S, b * FRAME_S)
                 for t, (a, b) in zip(tokens, spans)]
+
+    def align_batch(self, mels: np.ndarray, token_rows: Sequence[Sequence[int]],
+                    mel_valid: Sequence[int],
+                    n_pad: Optional[int] = None) -> List[List[TokenSpan]]:
+        """ONE fixed-shape device call for a whole batch of clips.
+
+        mels (B, n_mels, T_mel) padded to a shared bucket; token_rows are
+        ragged per row (padded to the batch max internally); mel_valid
+        gives each row's true mel length. Attention masks keep padded
+        frames/tokens out of the similarity; log-softmax and the Viterbi
+        DP run host-side per row over the VALID slice only, so results
+        match tight-padded per-clip alignment. Replaces the per-frame
+        dynamic-shape path that recompiled per (T, N) pair (ADR-002 r5).
+        """
+        b = int(mels.shape[0])
+        counts = [len(t) for t in token_rows]
+        n_max = max(counts, default=0)
+        if n_max == 0:
+            return [[] for _ in range(b)]
+        if n_pad is not None:        # caller pins the token axis to a
+            n_max = max(n_max, n_pad)  # bucket so program shapes repeat
+        toks = np.zeros((b, n_max), np.int32)
+        for r, row in enumerate(token_rows):
+            toks[r, :len(row)] = row
+        logits = similarity(
+            self.params, self.cfg, jnp.asarray(mels),
+            jnp.asarray(toks),
+            jnp.asarray(np.asarray(mel_valid, np.int32)),
+            jnp.asarray(np.asarray(counts, np.int32)))
+        raw = np.asarray(logits)    # (B, N_max, T_mel/4)
+        out: List[List[TokenSpan]] = []
+        for r, row in enumerate(token_rows):
+            n = counts[r]
+            if n == 0:
+                out.append([])
+                continue
+            frames = max(1, (int(mel_valid[r]) + 3) // 4)
+            sl = raw[r, :n, :frames].astype(np.float64)
+            sl -= sl.max(axis=-1, keepdims=True)
+            lp = sl - np.log(np.exp(sl).sum(axis=-1, keepdims=True))
+            spans = monotonic_align(lp)
+            out.append([TokenSpan(int(t), a * FRAME_S, b_ * FRAME_S)
+                        for t, (a, b_) in zip(row, spans)])
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,7 @@ Parity targets in the reference tree:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -568,27 +568,70 @@ class QwenAlignerAdapter:
         ids = [(ord(c) * 31) % 4096 for c in pieces]
         return ids, pieces
 
+    # fixed-shape ladders: every (rows, audio, tokens) triple is a
+    # compiled program, so clips snap UP to a coarse grid and programs
+    # repeat across scenes/files. The previous per-frame path padded
+    # audio to 0.04 s units and tokens to their exact count — a fresh
+    # XLA program per (T, N) pair, measured at 1,011 s of a 1,456 s
+    # 30-min qwen-mode file (ADR-002 round 5).
+    AUDIO_BUCKETS_S = (2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 180)
+    TOKEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+    MAX_ROWS = 32
+
     def align_batch(self, clips, sample_rate, texts) -> List[AlignmentResult]:
         import jax.numpy as jnp
         from whisperjav_tpu.ops.mel import log_mel_spectrogram
         assert self._aligner is not None, "call load() first"
-        out: List[AlignmentResult] = []
+        out: List[Optional[AlignmentResult]] = [None] * len(clips)
+
+        def _bucket(ladder, v):
+            for b in ladder:
+                if v <= b:
+                    return b
+            return ladder[-1]
+
+        groups: Dict[Tuple[int, int], List[Tuple[int, int, list, list]]] = {}
         for i, (clip, text) in enumerate(zip(clips, texts)):
             if not text.strip():
-                out.append(AlignmentResult(i, []))
+                out[i] = AlignmentResult(i, [])
                 continue
-            unit = 640
-            n = ((len(clip) + unit - 1) // unit) * unit or unit
-            buf = np.zeros(n, np.float32)
-            buf[:len(clip)] = clip
-            mel = np.asarray(log_mel_spectrogram(
-                jnp.asarray(buf[None]), n_mels=self._aligner.cfg.n_mels))[0]
             ids, pieces = self._tokenize(text)
-            spans = self._aligner.align(mel, ids)
-            words = [WordTimestamp(piece, s.start, s.end)
-                     for piece, s in zip(pieces, spans)]
-            out.append(AlignmentResult(i, words))
-        return out
+            if not ids:
+                out[i] = AlignmentResult(i, [])
+                continue
+            a_b = _bucket(self.AUDIO_BUCKETS_S,
+                          max(1, -(-len(clip) // sample_rate)))
+            t_b = _bucket(self.TOKEN_BUCKETS, len(ids))
+            ids = ids[:t_b]          # 180 s-class clip, clamp to bucket
+            pieces = pieces[:t_b]
+            groups.setdefault((a_b, t_b), []).append((i, len(clip), ids,
+                                                      pieces))
+
+        n_mels = self._aligner.cfg.n_mels
+        for (a_b, t_b), jobs in groups.items():
+            t_samples = a_b * sample_rate
+            for c0 in range(0, len(jobs), self.MAX_ROWS):
+                chunk = jobs[c0:c0 + self.MAX_ROWS]
+                rows = self.MAX_ROWS if len(jobs) > self.MAX_ROWS \
+                    else max(8, 1 << (len(chunk) - 1).bit_length())
+                buf = np.zeros((rows, t_samples), np.float32)
+                mel_valid = np.zeros(rows, np.int32)
+                token_rows: List[list] = [[] for _ in range(rows)]
+                for r, (i, clen, ids, _pieces) in enumerate(chunk):
+                    clen = min(clen, t_samples)   # >180 s clips clamp
+                    buf[r, :clen] = clips[i][:clen]
+                    mel_valid[r] = -(-clen // 160)   # true mel frames
+                    token_rows[r] = ids
+                mels = np.asarray(log_mel_spectrogram(jnp.asarray(buf),
+                                                      n_mels=n_mels))
+                spans_rows = self._aligner.align_batch(
+                    mels, token_rows, mel_valid, n_pad=t_b)
+                for r, (i, _clen, _ids, pieces) in enumerate(chunk):
+                    words = [WordTimestamp(piece, s.start, s.end)
+                             for piece, s in zip(pieces, spans_rows[r])]
+                    out[i] = AlignmentResult(i, words)
+        return [r if r is not None else AlignmentResult(i, [])
+                for i, r in enumerate(out)]
 
 
 class NullAligner:
