@@ -58,9 +58,7 @@ def _cfg(**kw):
 
 
 def _fp(cfg):
-    return {"mode": cfg.mode.name, "sensitivity": cfg.sensitivity.name,
-            "model": cfg.model, "language": cfg.language,
-            "batch_size": cfg.batch_size}
+    return daemon_client._fingerprint(cfg)
 
 
 def test_find_daemon_matches_fingerprint():
@@ -131,9 +129,10 @@ def test_cli_daemon_routes_and_writes_srt(tmp_path, monkeypatch):
     assert "こんにちは" in text and "00:00:00,500" in text
 
 
-def test_cli_daemon_qwen_falls_through(tmp_path, capsys, monkeypatch):
-    """--daemon with qwen mode warns and continues in-process (stubbed
-    here by letting the pipeline build raise a sentinel)."""
+def test_cli_daemon_qwen_deep_flags_fall_through(tmp_path, monkeypatch):
+    """--daemon + qwen with stack-level knobs warns and continues
+    in-process (the resident default stack can't receive them; stubbed
+    here by letting the generator build raise a sentinel)."""
     from whisperjav_tpu.modules.audio_io import write_wav
     wav = tmp_path / "clip.wav"
     write_wav(wav, np.zeros(1600, np.float32), 16000)
@@ -148,5 +147,80 @@ def test_cli_daemon_qwen_falls_through(tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(comp, "QwenGenerator", Boom)
     from whisperjav_tpu.cli import main
     with pytest.raises(RuntimeError, match="in-process path reached"):
-        main([str(wav), "--mode", "qwen", "--daemon",
+        main([str(wav), "--mode", "qwen", "--daemon", "--no-step-down",
               "--output-dir", str(tmp_path / "o")])
+
+
+def test_cli_daemon_qwen_routes_flagless(tmp_path, monkeypatch):
+    """Flagless qwen + --daemon routes to a fingerprint-matched resident
+    engine: SRT written from daemon cues, no in-process qwen stack."""
+    from whisperjav_tpu.modules.audio_io import write_wav
+    wav = tmp_path / "clip.wav"
+    write_wav(wav, np.zeros(16000, np.float32), 16000)
+
+    cfg = _cfg(mode="qwen")
+    srv, port = _stub_server(_fp(cfg), CUES)
+
+    import whisperjav_tpu.modules.subtitle_pipeline.components as comp
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise AssertionError("daemon route must not build the "
+                                 "qwen stack in-process")
+
+    monkeypatch.setattr(comp, "QwenGenerator", Boom)
+    from whisperjav_tpu.cli import main
+    out = tmp_path / "out"
+    try:
+        rc = main([str(wav), "--mode", "qwen", "--daemon",
+                   "--daemon-port", str(port),
+                   "--output-dir", str(out), "--no-signature"])
+    finally:
+        srv.shutdown()
+    assert rc == 0
+    srt = out / "clip.ja.whisperjav.srt"
+    assert srt.exists()
+    assert "こんにちは" in srt.read_text(encoding="utf-8")
+
+
+def test_daemon_reproducible_gate():
+    """Plain preset invocations are daemon-reproducible; cfg-level
+    overrides a daemon command line can't carry are not."""
+    assert daemon_client.daemon_reproducible(_cfg())
+    assert daemon_client.daemon_reproducible(_cfg(mode="qwen"))
+    cfg = resolve_pipeline_config(mode="balanced", sensitivity="balanced",
+                                  language="ja", batch_size=8,
+                                  vad_backend="whisper-vad")
+    assert not daemon_client.daemon_reproducible(cfg)
+    cfg2 = resolve_pipeline_config(mode="balanced", sensitivity="balanced",
+                                   language="ja", batch_size=8,
+                                   beam_size=5)
+    assert not daemon_client.daemon_reproducible(cfg2)
+
+
+def test_cli_daemon_override_falls_through(tmp_path, monkeypatch):
+    """--daemon + a cfg-level override (e.g. --vad-backend) must NOT
+    route to a plain-config daemon: the full-config hash mismatches and
+    the CLI stays in-process."""
+    from whisperjav_tpu.modules.audio_io import write_wav
+    wav = tmp_path / "clip.wav"
+    write_wav(wav, np.zeros(1600, np.float32), 16000)
+
+    cfg = _cfg()                       # plain daemon fingerprint
+    srv, port = _stub_server(_fp(cfg), CUES)
+
+    sentinel = RuntimeError("in-process path reached")
+    import whisperjav_tpu.pipelines.factory as factory
+
+    def boom(*a, **k):
+        raise sentinel
+
+    monkeypatch.setattr(factory, "build_pipeline", boom)
+    from whisperjav_tpu.cli import main
+    try:
+        with pytest.raises(RuntimeError, match="in-process path reached"):
+            main([str(wav), "--mode", "balanced", "--daemon",
+                  "--daemon-port", str(port), "--vad-backend",
+                  "whisper-vad", "--output-dir", str(tmp_path / "o")])
+    finally:
+        srv.shutdown()

@@ -144,3 +144,56 @@ def test_service_coalesced_end_to_end(server):
     subs, stats = svc.transcribe_array(audio, sr)
     assert stats.get("coalesced") is True
     assert isinstance(subs, list)
+
+
+def test_service_qwen_branch_routes_process_audio():
+    """A qwen pipeline (no .engine) takes the decoupled path: no window
+    coalescer, full request under the service lock, stats passed through."""
+    from whisperjav_tpu.modules.srt import Subtitle
+
+    class FakeQwenPipeline:
+        def process_audio(self, audio, rate, title="audio"):
+            return ([Subtitle(index=1, start=0.0, end=1.0, text="q")],
+                    {"audio_s": len(audio) / rate, "stage_s": {},
+                     "analytics": {"health": "ok"}})
+
+    svc = serve.TranscriptionService(FakeQwenPipeline(), linger_ms=30.0)
+    assert svc.is_qwen
+    assert svc.coalescer is None
+    subs, stats = svc.transcribe_array(np.zeros(16000, np.float32), 16000)
+    assert subs[0].text == "q"
+    assert stats["audio_s"] == pytest.approx(1.0)
+    assert "analytics" in stats
+
+
+@pytest.mark.slow
+def test_qwen_factory_builds_default_stack(tmp_path):
+    """qwen_factory builds the flagless-CLI default stack and transcribes
+    in-memory audio end-to-end (the serve daemon's qwen path)."""
+    from whisperjav_tpu.modules.subtitle_pipeline.components import (
+        AssemblyTextCleaner, QwenAlignerAdapter, QwenGenerator,
+        VadGroupedFramer,
+    )
+    from whisperjav_tpu.pipelines.qwen_factory import build_qwen_pipeline
+
+    cfg = resolve_pipeline_config(mode="qwen", model="qwen3-asr-test",
+                                  batch_size=2)
+    pipe = build_qwen_pipeline(cfg)
+    assert not hasattr(pipe, "engine")          # serve routes it as qwen
+    d = pipe.decoupled
+    assert isinstance(d.framer, VadGroupedFramer)
+    assert isinstance(d.generator, QwenGenerator)
+    assert isinstance(d.cleaner, AssemblyTextCleaner)
+    assert isinstance(d.aligner, QwenAlignerAdapter)
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    t = np.arange(10 * sr) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 190 * t)
+             * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+             + 0.04 * rng.standard_normal(len(t))).astype(np.float32)
+    subs, stats = pipe.process_audio(audio, sr)
+    assert stats["audio_s"] == pytest.approx(10.0, abs=0.1)
+    assert "stage_s" in stats and "analytics" in stats
+    for s in subs:
+        assert 0 <= s.start <= s.end <= 10.5

@@ -634,6 +634,49 @@ def _translate_output(args, srt_path: Path) -> None:
             wj_logger.setLevel(prev_level)
 
 
+def _qwen_deep_flags(args) -> List[str]:
+    """Qwen stack-level knobs the resident engine's default decoupled
+    stack (pipelines/qwen_factory.py) cannot receive. Any of them set
+    makes a ``--daemon`` invocation fall back in-process; cfg-level
+    overrides (scene/VAD/sensitivity fields) are separately caught by
+    the full-config fingerprint hash (daemon_client.daemon_reproducible)."""
+    checks = [
+        ("--timestamp-mode", args.timestamp_mode is not None),
+        ("--regroup-mode", args.regroup_mode is not None),
+        ("--no-step-down", args.no_step_down),
+        ("--step-down-attempts", args.step_down_attempts is not None),
+        ("--step-down-max-group", args.step_down_max_group is not None),
+        ("--qwen-stepdown-initial-group",
+         args.qwen_stepdown_initial_group is not None),
+        ("--framer", args.framer is not None),
+        ("--framer-srt-path", args.framer_srt_path is not None),
+        ("--framer-config", args.framer_config is not None),
+        ("--generator", args.generator is not None),
+        ("--generator-config", args.generator_config is not None),
+        ("--cleaner", args.cleaner is not None),
+        ("--cleaner-config", args.cleaner_config is not None),
+        ("--aligner", args.aligner is not None),
+        ("--aligner-config", args.aligner_config is not None),
+        ("--context", args.context is not None),
+        ("--context-file", args.context_file is not None),
+        ("--qwen-repetition-penalty",
+         args.qwen_repetition_penalty is not None),
+        ("--qwen-max-tokens", args.qwen_max_tokens is not None),
+        ("--qwen-max-tokens-per-second",
+         args.qwen_max_tokens_per_second is not None),
+        ("--qwen-chunk-threshold", args.qwen_chunk_threshold is not None),
+        ("--qwen-vad-padding", args.qwen_vad_padding is not None),
+        ("--qwen-timestamps", args.qwen_timestamps is not None),
+        ("--no-qwen-safe-chunking", not args.qwen_safe_chunking),
+        ("--qwen-scene-min-duration",
+         args.qwen_scene_min_duration is not None),
+        ("--qwen-scene-max-duration",
+         args.qwen_scene_max_duration is not None),
+        ("--no-qwen-assembly-cleaner", not args.qwen_assembly_cleaner),
+    ]
+    return [name for name, is_set in checks if is_set]
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     from whisperjav_tpu.utils.jax_cache import (
         enable_persistent_compilation_cache,
@@ -832,7 +875,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     def out_for(m):
         return resolve_output_dir(output_dir, m)
 
-    out_lang = "ja" if task == "transcribe" else "en"
+    # both pipelines name outputs <basename>.<language>.whisperjav.srt
+    # (transcribe.py:284, qwen.py); translate task always lands on en
+    out_lang = cfg.language if task == "transcribe" else "en"
 
     if args.skip_existing:
         remaining = []
@@ -889,7 +934,28 @@ def main(argv: Optional[List[str]] = None) -> int:
             if output_format == "vtt":
                 srt_path.unlink()
 
-    if args.daemon and not args.ensemble and cfg.mode.name != "qwen":
+    daemon_eligible = args.daemon and not args.ensemble
+    if daemon_eligible and cfg.mode.name == "qwen":
+        # the resident qwen engine runs the DEFAULT decoupled stack
+        # (pipelines/qwen_factory.py); stack-level knobs can't reach it
+        deep = _qwen_deep_flags(args)
+        if deep:
+            logger.warning(
+                "--daemon: qwen stack knobs (%s) can't be routed to a "
+                "resident engine; continuing in-process",
+                ", ".join(deep))
+            daemon_eligible = False
+    if daemon_eligible:
+        from whisperjav_tpu.pipelines.daemon_client import (
+            daemon_reproducible,
+        )
+        if not daemon_reproducible(cfg):
+            logger.warning(
+                "--daemon: this invocation carries config overrides a "
+                "daemon can't receive (scene/VAD/enhancer/decode knobs); "
+                "continuing in-process")
+            daemon_eligible = False
+    if daemon_eligible:
         # Resident-engine routing: skip the per-process first-batch
         # compile/load wall (140-500 s measured, ADR-002 round 5) by
         # decoding through a hot whisperjav-serve engine. The daemon owns
@@ -931,14 +997,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                     stats["e2e_rtf_x"] = round(
                         audio_s / max(wall, 1e-9), 2)
                     stats.setdefault("final_subtitles", len(subs))
+                    meta = {"input": str(m.path),
+                            "pipeline": cfg.mode.name,
+                            "duration_s": audio_s,
+                            "output": str(srt_path),
+                            "stats": stats}
+                    # qwen daemon responses carry analytics/diagnostics;
+                    # hoist them to the in-process metadata layout
+                    for key in ("analytics", "scene_diagnostics"):
+                        if key in stats:
+                            meta[key] = stats.pop(key)
                     meta_path = (out_dir_m /
                                  f"{m.basename}.whisperjav.json")
                     meta_path.write_text(
-                        json.dumps({"input": str(m.path),
-                                    "duration_s": audio_s,
-                                    "output": str(srt_path),
-                                    "stats": stats},
-                                   indent=2, default=str),
+                        json.dumps(meta, indent=2, default=str),
                         encoding="utf-8")
                     logger.info(
                         "wrote %s (%d subtitles, daemon, RTF %.2fx)",
@@ -965,9 +1037,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 0 if failures == 0 else 2
         logger.warning("--daemon requested but no resident engine is "
                        "available; continuing in-process")
-    elif args.daemon:
-        logger.warning("--daemon supports the standard pipeline modes only "
-                       "(not ensemble/qwen); continuing in-process")
+    elif args.daemon and args.ensemble:
+        logger.warning("--daemon does not cover ensemble mode (two engine "
+                       "configs per file); continuing in-process")
 
     if args.ensemble:
         from whisperjav_tpu.ensemble.orchestrator import EnsembleOrchestrator

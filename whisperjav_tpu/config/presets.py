@@ -14,6 +14,7 @@ CLI overrides last.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field, replace
 from typing import Dict, Optional, Tuple
 
@@ -146,6 +147,24 @@ class PipelineConfig:
     @property
     def model(self) -> str:
         return self.model_override or self.mode.model
+
+
+def config_fingerprint(cfg: PipelineConfig) -> str:
+    """Short stable hash of the FULL resolved config. The resident-engine
+    router (pipelines/daemon_client.py) compares this instead of trusting
+    the human-readable fields alone, so any knob that folds into the
+    resolved config (dot-overrides, --vad-backend, sensitivity-field
+    tweaks…) makes a mismatched daemon fall back to in-process decoding
+    rather than silently decoding under different settings."""
+    import hashlib
+    from dataclasses import asdict
+    d = asdict(cfg)
+    # canonicalize: a daemon is started with the RESOLVED model name, so
+    # {model_override: None, mode.model: turbo} and {model_override:
+    # "turbo"} must hash identically
+    d["model_override"] = cfg.model
+    blob = json.dumps(d, sort_keys=True, default=str)
+    return hashlib.sha1(blob.encode()).hexdigest()[:12]
 
 
 def resolve_pipeline_config(

@@ -44,13 +44,34 @@ def _health(port: int, timeout: float = 3.0) -> Optional[dict]:
 
 
 def _fingerprint(cfg) -> dict:
+    from whisperjav_tpu.config.presets import config_fingerprint
     return {
         "mode": cfg.mode.name,
         "sensitivity": cfg.sensitivity.name,
         "model": cfg.model,
         "language": cfg.language,
         "batch_size": cfg.batch_size,
+        # full-config hash: dot-overrides / --vad-backend / sensitivity
+        # tweaks all change it, so a daemon started under different knobs
+        # never silently serves this request
+        "cfg_hash": config_fingerprint(cfg),
     }
+
+
+def daemon_reproducible(cfg) -> bool:
+    """True iff ``start_daemon``'s command line (mode/sensitivity/model/
+    language/batch-size only) would resolve to exactly this config — i.e.
+    the invocation carries no cfg-level overrides a daemon can't receive.
+    The CLI checks this before routing so it never autostarts a daemon
+    doomed to a fingerprint mismatch."""
+    from whisperjav_tpu.config.presets import (
+        config_fingerprint, resolve_pipeline_config,
+    )
+    plain = resolve_pipeline_config(
+        mode=cfg.mode.name, sensitivity=cfg.sensitivity.name,
+        language=cfg.language, model=cfg.model,
+        batch_size=cfg.batch_size)
+    return config_fingerprint(plain) == config_fingerprint(cfg)
 
 
 class DaemonClient:

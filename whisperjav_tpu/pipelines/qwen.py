@@ -91,18 +91,21 @@ class QwenPipeline:
         self.language = language
 
     # ------------------------------------------------------------------
-    def process(self, media: MediaInfo, output_dir: Path) -> PipelineResult:
-        output_dir = Path(output_dir)
-        output_dir.mkdir(parents=True, exist_ok=True)
+    def process_audio(self, audio: np.ndarray, sample_rate: int,
+                      title: str = "audio"):
+        """Full qwen stack over an in-memory waveform; returns
+        (subtitles, stats). The serve daemon's qwen branch calls this
+        directly (resident-engine routing — the qwen generate/align
+        programs pay their compile wall once per daemon, not once per
+        CLI invocation; ADR-002 round 5); ``process`` wraps it with
+        file IO + metadata."""
+        if sample_rate != WHISPER_SAMPLE_RATE:
+            from whisperjav_tpu.modules.audio_io import resample
+            audio = resample(audio, sample_rate, WHISPER_SAMPLE_RATE)
         t0 = time.time()
-        logger.info("qwen pipeline: %s", media.path.name)
+        duration = len(audio) / WHISPER_SAMPLE_RATE
 
-        # phase 1-2: extract + scenes with safe chunking
         stage_s: Dict[str, float] = {}
-        t_ph = time.time()
-        audio, duration = AudioExtractor(WHISPER_SAMPLE_RATE).extract(
-            media.path)
-        stage_s["extract"] = round(time.time() - t_ph, 3)
         t_ph = time.time()
         scene_result = self.scene_detector.detect(audio, WHISPER_SAMPLE_RATE)
         scenes = (safe_chunk_scenes(scene_result.scenes,
@@ -154,29 +157,62 @@ class QwenPipeline:
             subtitles, duration,
             scene_spans=[(sc.start, sc.end) for sc in scenes],
             scene_diagnostics=diagnostics)
-        print_summary(analytics, title=media.path.name)
+        print_summary(analytics, title=title)
+
+        wall = round(time.time() - t0, 2)
+        stats = {
+            "e2e_wall_s": wall,
+            "e2e_rtf_x": round(duration / max(wall, 1e-9), 2),
+            "stage_s": stage_s,
+            "final_subtitles": len(subtitles),
+            "windows": sum(d.get("frames", 0) for d in diagnostics),
+            "audio_s": round(duration, 3),
+            "scenes": len(scenes),
+            "analytics": analytics,
+            "scene_diagnostics": diagnostics,
+        }
+        return subtitles, stats
+
+    # ------------------------------------------------------------------
+    def process(self, media: MediaInfo, output_dir: Path) -> PipelineResult:
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        t0 = time.time()
+        logger.info("qwen pipeline: %s", media.path.name)
+
+        t_ph = time.time()
+        audio, duration = AudioExtractor(WHISPER_SAMPLE_RATE).extract(
+            media.path)
+        extract_s = round(time.time() - t_ph, 3)
+
+        subtitles, stats = self.process_audio(
+            audio, WHISPER_SAMPLE_RATE, title=media.path.name)
+        stats = dict(stats)
+        analytics = stats.pop("analytics")
+        diagnostics = stats.pop("scene_diagnostics")
+        n_scenes = stats.pop("scenes")
+        stage_s = dict(stats["stage_s"])
+        stage_s["extract"] = extract_s
 
         srt_path = output_dir / f"{media.basename}.{self.language}.whisperjav.srt"
         save_srt(srt_path, subtitles)
         wall = round(time.time() - t0, 2)
+        stats.update({
+            "e2e_wall_s": wall,
+            "e2e_rtf_x": round(duration / max(wall, 1e-9), 2),
+            "stage_s": stage_s,
+        })
         metadata = {
             "input": str(media.path),
             "pipeline": "qwen",
             "duration_s": duration,
-            "scenes": len(scenes),
+            "scenes": n_scenes,
             "analytics": analytics,
             "scene_diagnostics": diagnostics,
             "wall_s": wall,
             # same stats shape the transcribe pipeline emits, so
             # file-level harnesses (tools/e2e_bench) grade qwen mode too
-            "stats": {
-                "e2e_wall_s": wall,
-                "e2e_rtf_x": round(duration / max(wall, 1e-9), 2),
-                "stage_s": stage_s,
-                "final_subtitles": len(subtitles),
-                "windows": sum(d.get("frames", 0) for d in diagnostics),
-                "audio_s": round(duration, 3),
-            },
+            "stats": stats,
         }
         (output_dir / f"{media.basename}.whisperjav.json").write_text(
             json.dumps(metadata, indent=2, ensure_ascii=False, default=str),

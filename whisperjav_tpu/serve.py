@@ -106,13 +106,22 @@ class TranscriptionService:
         self.pipeline = pipeline
         self.language = language
         self.lock = threading.Lock()   # host-side assemble state
+        # qwen mode: the decoupled stack (pipelines/qwen.py) manages its
+        # own scene-pooled device batches — no window coalescer, and the
+        # full request runs under the lock (scene detector + generator
+        # carry host state). The resident-engine win is identical: the
+        # generate/align programs compile once per daemon.
+        self.is_qwen = not hasattr(pipeline, "engine")
         self.coalescer = (WindowCoalescer(pipeline.engine, linger_ms)
-                          if linger_ms > 0 else None)
+                          if linger_ms > 0 and not self.is_qwen else None)
 
     def transcribe_array(self, audio: np.ndarray, sample_rate: int):
         from whisperjav_tpu.modules.audio_io import (
             WHISPER_SAMPLE_RATE, resample,
         )
+        if self.is_qwen:
+            with self.lock:
+                return self.pipeline.process_audio(audio, sample_rate)
         if sample_rate != WHISPER_SAMPLE_RATE:
             audio = resample(audio, sample_rate, WHISPER_SAMPLE_RATE)
         if self.coalescer is None:
@@ -173,7 +182,9 @@ class Handler(BaseHTTPRequestHandler):
             import jax
             dev = jax.devices()[0]
             body = {"status": "ok",
-                    "model": SERVICE.pipeline.engine.config.name,
+                    "model": (SERVICE.fingerprint.get("model")
+                              if SERVICE.is_qwen
+                              else SERVICE.pipeline.engine.config.name),
                     "device": f"{dev.platform}:{dev.device_kind}"}
             # config fingerprint: the CLI's --daemon router only reuses a
             # daemon whose settings match the invocation
@@ -259,18 +270,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         mode=args.mode, sensitivity=args.sensitivity,
         language=args.language, model=args.model,
         batch_size=args.batch_size)
-    pipeline = build_pipeline(cfg, checkpoint=args.checkpoint,
-                              postprocessor=SRTPostProcessor(),
-                              devices=args.devices)
+    if cfg.mode.name == "qwen":
+        # resident qwen engine: default decoupled stack (qwen_factory);
+        # the qwen pipeline sanitizes internally — no SRTPostProcessor
+        from whisperjav_tpu.pipelines.qwen_factory import (
+            build_qwen_pipeline,
+        )
+        pipeline = build_qwen_pipeline(cfg, checkpoint=args.checkpoint)
+    else:
+        pipeline = build_pipeline(cfg, checkpoint=args.checkpoint,
+                                  postprocessor=SRTPostProcessor(),
+                                  devices=args.devices)
 
     global SERVICE
     SERVICE = TranscriptionService(pipeline, args.language,
                                    linger_ms=args.coalesce_ms)
-    SERVICE.fingerprint = {
-        "mode": cfg.mode.name, "sensitivity": cfg.sensitivity.name,
-        "model": cfg.model, "language": cfg.language,
-        "batch_size": cfg.batch_size,
-    }
+    from whisperjav_tpu.pipelines.daemon_client import _fingerprint
+    SERVICE.fingerprint = _fingerprint(cfg)
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     logger.info("whisperjav-serve: http://%s:%d (model %s, hot engine)",
