@@ -101,6 +101,63 @@ class TestMonotonicAlign:
         assert monotonic_align(np.zeros((0, 10))) == []
 
 
+class TestDeviceAlign:
+    """The fused on-device Viterbi (align_spans/_dp_backtrack) must
+    match the host monotonic_align DP exactly."""
+
+    def test_dp_backtrack_matches_host(self):
+        from whisperjav_tpu.models.qwen.aligner import _dp_backtrack
+        rng = np.random.default_rng(7)
+        n_pad, t_pad = 24, 40
+        for n, t in [(1, 1), (1, 9), (3, 3), (5, 24), (17, 40),
+                     (24, 40), (2, 37)]:
+            # integer-valued log-probs are exact in float32, so the
+            # f32 device DP and the f64 host DP take identical branches
+            lp = rng.integers(-8, 0, (n_pad, t_pad)).astype(np.float32)
+            lp[:, t:] = -1e30
+            starts, ends = _dp_backtrack(
+                jnp.asarray(lp), jnp.int32(t), jnp.int32(n))
+            got = list(zip(np.asarray(starts)[:n].tolist(),
+                           np.asarray(ends)[:n].tolist()))
+            want = monotonic_align(lp[:n, :t].astype(np.float64))
+            assert got == want, (n, t)
+
+    def test_align_batch_audio_matches_split_path(self):
+        from whisperjav_tpu.ops.mel import log_mel_spectrogram
+        cfg = AlignerConfig(n_layers=2, d_model=64, n_heads=4)
+        aligner = ForcedAligner(cfg)
+        rng = np.random.default_rng(3)
+        sr = 16000
+        t_samples = 2 * sr                       # 2 s bucket
+        lens = [t_samples, sr, sr // 2]
+        audio = np.zeros((4, t_samples), np.float32)
+        for r, ln in enumerate(lens):
+            audio[r, :ln] = rng.standard_normal(ln).astype(np.float32) * 0.1
+        # quantize once so both paths see identical samples
+        a16 = (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+        af = a16.astype(np.float32) / 32767.0
+        token_rows = [[5, 17, 99], [3, 2], [1], []]
+        got = aligner.align_batch_audio(af, token_rows, lens + [0],
+                                        n_pad=8)
+        mels = np.asarray(log_mel_spectrogram(jnp.asarray(af),
+                                              n_mels=cfg.n_mels))
+        mel_valid = [-(-ln // 160) for ln in lens] + [0]
+        want = aligner.align_batch(mels, token_rows, mel_valid, n_pad=8)
+        assert got == want
+
+    def test_align_batch_audio_degenerate_row(self):
+        cfg = AlignerConfig(n_layers=2, d_model=64, n_heads=4)
+        aligner = ForcedAligner(cfg)
+        sr = 16000
+        audio = np.zeros((1, sr), np.float32)
+        valid = 800                               # 5 mel → 2 conv frames
+        tokens = [[9, 8, 7, 6, 5]]                # 5 tokens > 2 frames
+        spans = aligner.align_batch_audio(audio, tokens, [valid])[0]
+        assert len(spans) == 5
+        assert all(s.end > s.start for s in spans)
+        assert spans[0].start == 0.0
+
+
 def test_forced_aligner_end_to_end():
     aligner = ForcedAligner(AlignerConfig(n_layers=2, d_model=64, n_heads=4))
     mel = np.random.default_rng(2).standard_normal((128, 200)).astype(np.float32)

@@ -110,11 +110,10 @@ def _block(x, p, n_heads, theta, mask=None):
                       p["w2"])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def similarity(params: Dict, cfg: AlignerConfig, mel: jax.Array,
-               tokens: jax.Array,
-               mel_valid: Optional[jax.Array] = None,
-               tok_valid: Optional[jax.Array] = None) -> jax.Array:
+def _similarity(params: Dict, cfg: AlignerConfig, mel: jax.Array,
+                tokens: jax.Array,
+                mel_valid: Optional[jax.Array] = None,
+                tok_valid: Optional[jax.Array] = None) -> jax.Array:
     """mel (B, n_mels, T_mel), tokens (B, N) → logits (B, N, T_mel/4).
 
     ``mel_valid``/``tok_valid`` (B,) give true lengths so padded audio
@@ -159,6 +158,95 @@ def similarity(params: Dict, cfg: AlignerConfig, mel: jax.Array,
     t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-6)
     return jnp.einsum("bnd,bmd->bnm", t, a,
                       preferred_element_type=jnp.float32) * params["temp"]
+
+
+similarity = jax.jit(_similarity, static_argnames=("cfg",))
+
+
+def _dp_backtrack(lp: jax.Array, frames: jax.Array,
+                  n_tok: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """On-device monotonic Viterbi + backtrack (one batch row).
+
+    lp (N, T) float32 masked log-probs, frames/n_tok scalars: the row's
+    true lengths inside the padded buffers. Mirrors ``monotonic_align``
+    exactly (same recurrence, same ``diag >= prev`` tie-break, same
+    backtrack rules) so spans match the host DP bit-for-bit on float32-
+    exact inputs. Returns (starts, ends) (N,) int32 frame indices; slots
+    past n_tok-1 are undefined (callers slice by token count)."""
+    n, t = lp.shape
+    neg = jnp.float32(-1e30)
+
+    prev0 = jnp.full((n,), neg, jnp.float32).at[0].set(lp[0, 0])
+
+    def col_step(prev, inputs):
+        j, lp_j = inputs                       # lp_j (N,)
+        diag = jnp.concatenate([jnp.array([neg]), prev[:-1]])
+        take_diag = diag >= prev
+        col = jnp.where(take_diag, diag, prev) + lp_j
+        col = col.at[0].set(prev[0] + lp_j[0])   # row 0: stay only
+        back_j = take_diag.at[0].set(False)
+        active = j < frames
+        prev = jnp.where(active, col, prev)
+        return prev, jnp.where(active, back_j, False)
+
+    js = jnp.arange(1, t)
+    _, back_cols = jax.lax.scan(col_step, prev0, (js, lp[:, 1:].T))
+    # back (N, T): column 0 is all zeros (host DP never sets it)
+    back = jnp.concatenate(
+        [jnp.zeros((n, 1), bool), back_cols.T], axis=1)
+
+    def bt_cond(state):
+        i, _j, _end, _s, _e = state
+        return i >= 0
+
+    def bt_body(state):
+        i, j, end, starts, ends = state
+        hit = back[i, j] | (j == 0)
+        starts = jnp.where(hit, starts.at[i].set(j), starts)
+        ends = jnp.where(hit, ends.at[i].set(end), ends)
+        end = jnp.where(hit, j, end)
+        i = jnp.where(hit, i - 1, i)
+        j = jnp.where(hit, jnp.maximum(j - 1, 0), j - 1)
+        return i, j, end, starts, ends
+
+    starts0 = jnp.zeros((n,), jnp.int32)
+    ends0 = jnp.zeros((n,), jnp.int32)
+    i0 = n_tok.astype(jnp.int32) - 1
+    j0 = frames.astype(jnp.int32) - 1
+    _, _, _, starts, ends = jax.lax.while_loop(
+        bt_cond, bt_body, (i0, j0, frames.astype(jnp.int32),
+                           starts0, ends0))
+    return starts.at[0].set(0), ends
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def align_spans(params: Dict, cfg: AlignerConfig, audio: jax.Array,
+                tokens: jax.Array, audio_valid: jax.Array,
+                tok_valid: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Whole alignment on device: int16 audio (B, S) + tokens (B, N) →
+    (starts, ends) (B, N) int32 conv-frame indices.
+
+    Fuses the mel frontend, the similarity towers, masked log-softmax,
+    the monotonic Viterbi DP, and the backtrack into ONE program, so
+    the host↔device traffic is int16 audio up and 2·B·N int32 down —
+    vs the split path's mel drain + mel re-upload + full (B, N, T/4)
+    float32 logits drain (~100 MB per 32-row 32 s bucket through a
+    37 MB/s tunnel; ADR-002 round 5)."""
+    from whisperjav_tpu.ops.mel import log_mel_spectrogram
+
+    audio_f = audio.astype(jnp.float32) / 32767.0
+    mel = log_mel_spectrogram(audio_f, n_mels=cfg.n_mels)
+    mel_valid = -(-audio_valid.astype(jnp.int32) // 160)
+    logits = _similarity(params, cfg, mel, tokens, mel_valid, tok_valid)
+
+    t_conv = logits.shape[-1]
+    frames = jnp.maximum(1, (mel_valid + 3) // 4)      # (B,)
+    fmask = jnp.arange(t_conv)[None, :] < frames[:, None]
+    masked = jnp.where(fmask[:, None, :], logits, jnp.float32(-1e30))
+    lp = jax.nn.log_softmax(masked, axis=-1)
+    lp = jnp.where(fmask[:, None, :], lp, jnp.float32(-1e30))
+
+    return jax.vmap(_dp_backtrack)(lp, frames, tok_valid)
 
 
 class TokenSpan(NamedTuple):
@@ -281,6 +369,58 @@ class ForcedAligner:
             spans = monotonic_align(lp)
             out.append([TokenSpan(int(t), a * FRAME_S, b_ * FRAME_S)
                         for t, (a, b_) in zip(row, spans)])
+        return out
+
+    def align_batch_audio(self, audio: np.ndarray,
+                          token_rows: Sequence[Sequence[int]],
+                          sample_valid: Sequence[int],
+                          n_pad: Optional[int] = None
+                          ) -> List[List[TokenSpan]]:
+        """Fully-fused device path: raw audio in, spans out.
+
+        audio (B, S) float32 [-1, 1] padded to a shared bucket;
+        sample_valid gives each row's true sample count. One program
+        computes mel → similarity → Viterbi → backtrack on device and
+        drains only 2·B·N int32 (``align_spans``), vs ``align_batch``'s
+        mel round-trip + full logits drain. int16 audio transfer is
+        lossless for WAV-native sources (the engine uses the same trick,
+        pipelines/engine.py:244). Rows whose valid conv frames < token
+        count fall back to the host path's even-spread rule."""
+        b = int(audio.shape[0])
+        counts = [len(t) for t in token_rows]
+        n_max = max(counts, default=0)
+        if n_max == 0:
+            return [[] for _ in range(b)]
+        if n_pad is not None:
+            n_max = max(n_max, n_pad)
+        toks = np.zeros((b, n_max), np.int32)
+        for r, row in enumerate(token_rows):
+            toks[r, :len(row)] = row
+        a16 = audio if audio.dtype == np.int16 else (
+            np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+        starts, ends = align_spans(
+            self.params, self.cfg, jnp.asarray(a16), jnp.asarray(toks),
+            jnp.asarray(np.asarray(sample_valid, np.int32)),
+            jnp.asarray(np.asarray(counts, np.int32)))
+        starts = np.asarray(starts)
+        ends = np.asarray(ends)
+        out: List[List[TokenSpan]] = []
+        for r, row in enumerate(token_rows):
+            n = counts[r]
+            if n == 0:
+                out.append([])
+                continue
+            frames = max(1, (-(-int(sample_valid[r]) // 160) + 3) // 4)
+            if frames < n:     # degenerate: match monotonic_align's rule
+                bounds = np.linspace(0, frames, n + 1).astype(int)
+                out.append([TokenSpan(int(t), bounds[i] * FRAME_S,
+                                      max(bounds[i + 1], bounds[i] + 1)
+                                      * FRAME_S)
+                            for i, t in enumerate(row)])
+                continue
+            out.append([TokenSpan(int(t), int(starts[r, i]) * FRAME_S,
+                                  int(ends[r, i]) * FRAME_S)
+                        for i, t in enumerate(row)])
         return out
 
 

@@ -607,6 +607,12 @@ class QwenAlignerAdapter:
             groups.setdefault((a_b, t_b), []).append((i, len(clip), ids,
                                                       pieces))
 
+        # WJAV_ALIGN_DEVICE=0 ablates the fully-fused device program
+        # (mel + similarity + Viterbi + backtrack in one launch, spans-
+        # only drain) back to the split mel-roundtrip + logits-drain
+        # path — see models/qwen/aligner.py:align_spans.
+        import os
+        device_path = os.environ.get("WJAV_ALIGN_DEVICE", "1") != "0"
         n_mels = self._aligner.cfg.n_mels
         for (a_b, t_b), jobs in groups.items():
             t_samples = a_b * sample_rate
@@ -615,17 +621,23 @@ class QwenAlignerAdapter:
                 rows = self.MAX_ROWS if len(jobs) > self.MAX_ROWS \
                     else max(8, 1 << (len(chunk) - 1).bit_length())
                 buf = np.zeros((rows, t_samples), np.float32)
+                sample_valid = np.zeros(rows, np.int32)
                 mel_valid = np.zeros(rows, np.int32)
                 token_rows: List[list] = [[] for _ in range(rows)]
                 for r, (i, clen, ids, _pieces) in enumerate(chunk):
                     clen = min(clen, t_samples)   # >180 s clips clamp
                     buf[r, :clen] = clips[i][:clen]
+                    sample_valid[r] = clen
                     mel_valid[r] = -(-clen // 160)   # true mel frames
                     token_rows[r] = ids
-                mels = np.asarray(log_mel_spectrogram(jnp.asarray(buf),
-                                                      n_mels=n_mels))
-                spans_rows = self._aligner.align_batch(
-                    mels, token_rows, mel_valid, n_pad=t_b)
+                if device_path:
+                    spans_rows = self._aligner.align_batch_audio(
+                        buf, token_rows, sample_valid, n_pad=t_b)
+                else:
+                    mels = np.asarray(log_mel_spectrogram(
+                        jnp.asarray(buf), n_mels=n_mels))
+                    spans_rows = self._aligner.align_batch(
+                        mels, token_rows, mel_valid, n_pad=t_b)
                 for r, (i, _clen, _ids, pieces) in enumerate(chunk):
                     words = [WordTimestamp(piece, s.start, s.end)
                              for piece, s in zip(pieces, spans_rows[r])]
