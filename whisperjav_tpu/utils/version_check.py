@@ -54,16 +54,52 @@ def check_latest_version(timeout: float = 5.0) -> Optional[Dict]:
         return None
 
 
-def upgrade_main() -> int:
+def run_pip_upgrade(dry_run: bool = False) -> int:
+    """Invoke this interpreter's pip to upgrade the package in place.
+
+    The whole self-updater (reference upgrade.py's wheel download +
+    unpack + atomic swap, ~1.5k LoC) collapses to one pip call here
+    because the distribution is a plain wheel with no CUDA matrix:
+    pip already does resolution, rollback-on-failure, and entry-point
+    regeneration."""
+    import subprocess
+    import sys
+    cmd = [sys.executable, "-m", "pip", "install", "--upgrade",
+           "whisperjav-tpu"]
+    if dry_run:
+        print("would run:", " ".join(cmd))
+        return 0
+    return subprocess.call(cmd)
+
+
+def upgrade_main(argv=None) -> int:
+    import argparse
+    ap = argparse.ArgumentParser(
+        prog="whisperjav-upgrade",
+        description="check for a newer whisperjav-tpu release and "
+                    "optionally install it")
+    ap.add_argument("--run", action="store_true",
+                    help="install the upgrade via pip (default: "
+                         "check + print guidance only)")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="print the pip command without executing")
+    args = ap.parse_args(argv)
+
     info = check_latest_version()
     if info is None:
         print(f"whisperjav-tpu {__version__} — update check unavailable "
               "(offline)")
+        if args.run or args.dry_run:
+            # user explicitly asked to upgrade: let pip try/report
+            return run_pip_upgrade(dry_run=args.dry_run)
         return 0
     if info["newer"]:
         print(f"newer release available: {info['latest']} "
-              f"(current {__version__})\n"
-              f"upgrade with: pip install -U whisperjav-tpu")
+              f"(current {__version__})")
+        if args.run or args.dry_run:
+            return run_pip_upgrade(dry_run=args.dry_run)
+        print("upgrade with: pip install -U whisperjav-tpu "
+              "(or re-run with --run)")
     else:
         print(f"whisperjav-tpu {__version__} is up to date")
     return 0
