@@ -303,6 +303,17 @@ def main(argv=None) -> int:
         "subtitles": stats.get("final_subtitles"),
         "windows": stats.get("windows"),
     }
+    # measurement provenance: the env knobs that change what this number
+    # means (5% gate injection vs natural gates, ablations) — so recorded
+    # runs are reproducible without the shell history
+    prov = {k: os.environ[k] for k in
+            ("WJAV_GATE_FAIL_PCT", "WJAV_DEFER_RETRY", "WJAV_ALIGN_DEVICE",
+             "WJAV_LADDER_RUNGS", "WJAV_DECODE_AHEAD", "WJAV_QWEN_INT8")
+            if k in os.environ}
+    if "--daemon" in args.extra:
+        prov["path"] = "daemon"
+    if prov:
+        result["env"] = prov
     trace = stats.get("batch_trace")
     if trace:
         phases = ("upload_s", "encode_s", "dispatch_s", "ahead_s",
