@@ -197,3 +197,30 @@ def test_qwen_factory_builds_default_stack(tmp_path):
     assert "stage_s" in stats and "analytics" in stats
     for s in subs:
         assert 0 <= s.start <= s.end <= 10.5
+
+
+def test_shutdown_endpoint_and_daemon_stop_cli():
+    """POST /shutdown stops serve_forever (the --daemon-stop contract:
+    frees HBM for a different-config resident — two engines measured
+    RESOURCE_EXHAUSTED together on one v5e)."""
+    from http.server import ThreadingHTTPServer
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    resp = json.loads(_post(port, "/shutdown", b"{}").read())
+    assert resp == {"status": "shutting down"}
+    t.join(timeout=10)
+    assert not t.is_alive()
+
+    # CLI management flag drives the same endpoint (fresh server)
+    httpd2 = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    port2 = httpd2.server_address[1]
+    t2 = threading.Thread(target=httpd2.serve_forever, daemon=True)
+    t2.start()
+    from whisperjav_tpu.cli import main as cli_main
+    assert cli_main(["--daemon-stop", "--daemon-port", str(port2)]) == 0
+    t2.join(timeout=10)
+    assert not t2.is_alive()
+    # stopping again: nothing listening → rc 1, no exception
+    assert cli_main(["--daemon-stop", "--daemon-port", str(port2)]) == 1

@@ -391,6 +391,10 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "a-time workflows and the GUI")
     p.add_argument("--daemon-port", type=int, default=8478,
                    help="port of the resident engine (--daemon)")
+    p.add_argument("--daemon-stop", action="store_true",
+                   help="stop the resident engine on --daemon-port and "
+                        "exit (frees the chip for a different-config "
+                        "daemon — two residents can exceed one chip's HBM)")
     p.add_argument("--async-processing", action="store_true",
                    help="overlap host preprocessing with device decode")
     p.add_argument("--max-workers", type=int, default=2,
@@ -677,11 +681,35 @@ def _qwen_deep_flags(args) -> List[str]:
     return [name for name, is_set in checks if is_set]
 
 
+def _daemon_stop(port: int) -> int:
+    """POST /shutdown to the resident engine; rc 0 on success."""
+    import urllib.error
+    import urllib.request
+    from whisperjav_tpu.utils.logger import logger
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/shutdown", data=b"{}")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            json.loads(r.read())
+        logger.info("resident engine on port %d stopped", port)
+        return 0
+    except (urllib.error.URLError, OSError, ValueError) as e:
+        logger.warning("no resident engine on port %d (%s)", port, e)
+        return 1
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     from whisperjav_tpu.utils.jax_cache import (
         enable_persistent_compilation_cache,
     )
     enable_persistent_compilation_cache()
+    raw = list(argv) if argv is not None else sys.argv[1:]
+    if "--daemon-stop" in raw:
+        # management action: no inputs required, exits immediately
+        mini = argparse.ArgumentParser(add_help=False)
+        mini.add_argument("--daemon-port", type=int, default=8478)
+        known, _ = mini.parse_known_args(raw)
+        return _daemon_stop(known.daemon_port)
     args = parse_arguments(argv)
     if args.asr:
         args.mode = _ASR_TO_MODE[args.asr]

@@ -195,6 +195,16 @@ class Handler(BaseHTTPRequestHandler):
             self._json({"error": "not found"}, 404)
 
     def do_POST(self):  # noqa: N802
+        if self.path == "/shutdown":
+            # orderly resident-engine stop (CLI: --daemon-stop). Frees
+            # the chip's HBM for a different-config daemon — two
+            # resident engines can exceed one chip (measured: balanced
+            # B=32 + qwen-1.7b together RESOURCE_EXHAUSTED on v5e).
+            self._json({"status": "shutting down"})
+            import threading
+            threading.Thread(target=self.server.shutdown,
+                             daemon=True).start()
+            return
         if self.path != "/transcribe":
             self._json({"error": "not found"}, 404)
             return
@@ -295,6 +305,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    logger.info("whisperjav-serve: stopped")
     return 0
 
 
