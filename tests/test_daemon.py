@@ -33,6 +33,11 @@ def _stub_server(fingerprint, cues):
                 self._json({"error": "nope"}, 404)
 
         def do_POST(self):
+            if self.path == "/shutdown":
+                self._json({"status": "shutting down"})
+                threading.Thread(target=self.server.shutdown,
+                                 daemon=True).start()
+                return
             n = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(n))
             assert req.get("format") == "json"
@@ -222,5 +227,33 @@ def test_cli_daemon_override_falls_through(tmp_path, monkeypatch):
             main([str(wav), "--mode", "balanced", "--daemon",
                   "--daemon-port", str(port), "--vad-backend",
                   "whisper-vad", "--output-dir", str(tmp_path / "o")])
+    finally:
+        srv.shutdown()
+
+
+def test_get_daemon_replace_stops_mismatched(monkeypatch):
+    """--daemon-replace: a healthy-but-mismatched resident is shut down
+    (freeing its HBM) and a matching one started on the same port."""
+    srv, port = _stub_server(_fp(_cfg(batch_size=4)), CUES)
+    cfg = _cfg()                                  # batch_size=8: mismatch
+    started = []
+    monkeypatch.setattr(
+        daemon_client, "start_daemon",
+        lambda c, p, checkpoint=None: started.append(p) or "CLIENT")
+    out = daemon_client.get_daemon(cfg, port=port, replace=True)
+    assert out == "CLIENT"
+    assert started == [port]
+    assert daemon_client._health(port) is None    # stub really stopped
+
+
+def test_get_daemon_no_replace_falls_back(monkeypatch):
+    srv, port = _stub_server(_fp(_cfg(batch_size=4)), CUES)
+    try:
+        monkeypatch.setattr(
+            daemon_client, "start_daemon",
+            lambda *a, **k: pytest.fail("must not autostart over an "
+                                        "occupied port without replace"))
+        assert daemon_client.get_daemon(_cfg(), port=port) is None
+        assert daemon_client._health(port) is not None   # untouched
     finally:
         srv.shutdown()

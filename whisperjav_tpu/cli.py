@@ -395,6 +395,11 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="stop the resident engine on --daemon-port and "
                         "exit (frees the chip for a different-config "
                         "daemon — two residents can exceed one chip's HBM)")
+    p.add_argument("--daemon-replace", action="store_true",
+                   help="with --daemon: if a resident engine with a "
+                        "different config occupies the port, shut it "
+                        "down and start a matching one instead of "
+                        "falling back in-process")
     p.add_argument("--async-processing", action="store_true",
                    help="overlap host preprocessing with device decode")
     p.add_argument("--max-workers", type=int, default=2,
@@ -682,20 +687,18 @@ def _qwen_deep_flags(args) -> List[str]:
 
 
 def _daemon_stop(port: int) -> int:
-    """POST /shutdown to the resident engine; rc 0 on success."""
-    import urllib.error
-    import urllib.request
+    """Stop the resident engine; rc 0 when the port ends up free."""
+    from whisperjav_tpu.pipelines.daemon_client import _health, stop_daemon
     from whisperjav_tpu.utils.logger import logger
-    try:
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/shutdown", data=b"{}")
-        with urllib.request.urlopen(req, timeout=10) as r:
-            json.loads(r.read())
+    if _health(port) is None:
+        logger.warning("no resident engine on port %d", port)
+        return 1
+    if stop_daemon(port):
         logger.info("resident engine on port %d stopped", port)
         return 0
-    except (urllib.error.URLError, OSError, ValueError) as e:
-        logger.warning("no resident engine on port %d (%s)", port, e)
-        return 1
+    logger.warning("resident engine on port %d did not stop (it may "
+                   "predate the /shutdown endpoint — kill its pid)", port)
+    return 1
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -992,7 +995,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         # outputs, and runs signatures/translate/VTT.
         from whisperjav_tpu.pipelines.daemon_client import get_daemon
         client = get_daemon(cfg, port=args.daemon_port,
-                            checkpoint=checkpoint)
+                            checkpoint=checkpoint,
+                            replace=args.daemon_replace)
         if client is not None:
             from whisperjav_tpu.modules.srt import compose_srt
             batch_stats = []

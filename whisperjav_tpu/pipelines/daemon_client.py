@@ -153,9 +153,48 @@ def start_daemon(cfg, port: int = DEFAULT_PORT,
     return None
 
 
+def stop_daemon(port: int = DEFAULT_PORT, wait_s: float = 30.0) -> bool:
+    """POST /shutdown to the resident engine; wait for the port to free.
+
+    True when nothing is listening afterwards. An engine predating the
+    /shutdown endpoint answers 404 and keeps running — the caller falls
+    back rather than killing blind."""
+    import urllib.error
+    import urllib.request
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/shutdown", data=b"{}")
+        urllib.request.urlopen(req, timeout=10).read()
+    except (urllib.error.URLError, OSError):
+        return _health(port) is None
+    deadline = time.time() + wait_s
+    while time.time() < deadline:
+        if _health(port) is None:
+            return True
+        time.sleep(0.5)
+    return False
+
+
 def get_daemon(cfg, port: int = DEFAULT_PORT, autostart: bool = True,
-               checkpoint: Optional[str] = None) -> Optional[DaemonClient]:
+               checkpoint: Optional[str] = None,
+               replace: bool = False) -> Optional[DaemonClient]:
+    """A config-matched resident engine on ``port``, autostarted if the
+    port is free. ``replace``: when a healthy-but-mismatched engine
+    occupies the port, shut it down first (frees its HBM — two resident
+    engines can exceed one chip) and start a matching one."""
     client = find_daemon(cfg, port)
-    if client is None and autostart and _health(port) is None:
+    if client is not None:
+        return client
+    occupied = _health(port) is not None
+    if occupied and replace:
+        logger.info("replacing the mismatched resident engine on port %d",
+                    port)
+        if stop_daemon(port):
+            occupied = False
+        else:
+            logger.warning("could not stop the resident engine on "
+                           "port %d — falling back in-process", port)
+            return None
+    if not occupied and autostart:
         client = start_daemon(cfg, port, checkpoint=checkpoint)
     return client
