@@ -109,7 +109,7 @@ def test_cli_daemon_routes_and_writes_srt(tmp_path, monkeypatch):
     write_wav(wav, (0.05 * np.random.default_rng(0)
                     .standard_normal(16000)).astype(np.float32), 16000)
 
-    cfg = _cfg(batch_size=8)
+    cfg = _cfg(batch_size=None)    # flagless CLI → mode default batch
     srv, port = _stub_server(_fp(cfg), CUES)
 
     import whisperjav_tpu.pipelines.factory as factory
@@ -163,7 +163,7 @@ def test_cli_daemon_qwen_routes_flagless(tmp_path, monkeypatch):
     wav = tmp_path / "clip.wav"
     write_wav(wav, np.zeros(16000, np.float32), 16000)
 
-    cfg = _cfg(mode="qwen")
+    cfg = _cfg(mode="qwen", batch_size=None)   # flagless → mode default
     srv, port = _stub_server(_fp(cfg), CUES)
 
     import whisperjav_tpu.modules.subtitle_pipeline.components as comp

@@ -204,6 +204,10 @@ def test_shutdown_endpoint_and_daemon_stop_cli():
     frees HBM for a different-config resident — two engines measured
     RESOURCE_EXHAUSTED together on one v5e)."""
     from http.server import ThreadingHTTPServer
+    from types import SimpleNamespace
+    if serve.SERVICE is None:      # standalone run: /health needs one
+        serve.SERVICE = SimpleNamespace(
+            is_qwen=True, fingerprint={"model": "stub"})
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)

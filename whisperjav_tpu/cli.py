@@ -71,7 +71,10 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--output-format", default=None,
                    choices=["srt", "vtt", "both"],
                    help="vtt converts and removes the SRT; both keeps it")
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="decode windows per device batch "
+                        "(default: the mode's measured per-"
+                        "chip optimum, 32 — ADR-002 B-sweep)")
     p.add_argument("--vad-backend", "--speech-segmenter", "--vad",
                    dest="vad_backend", default=None,
                    help="override VAD backend (energy/silero/whisperseg/"

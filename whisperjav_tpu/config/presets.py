@@ -73,6 +73,11 @@ class ModePreset:
     vad_backend: str = "energy"
     with_timestamps: bool = True
     description: str = ""
+    # flagless --batch-size: the measured per-chip optimum for the
+    # mode's model (ADR-002 round-5 B-sweep: balanced/turbo peaks at
+    # B=32, past ~64 effective decode rows the latency knee wins;
+    # qwen-1.7b generate loop peaks B=32 at +18% over B=16)
+    default_batch: int = 32
 
 
 MODE_PRESETS: Dict[str, ModePreset] = {
@@ -173,7 +178,7 @@ def resolve_pipeline_config(
     language: str = "ja",
     task: str = "transcribe",
     model: Optional[str] = None,
-    batch_size: int = 8,
+    batch_size: Optional[int] = None,
     **overrides,
 ) -> PipelineConfig:
     """CLI-facing resolver. Precedence: explicit overrides > sensitivity
@@ -190,9 +195,12 @@ def resolve_pipeline_config(
     sens_fields = {f for f in SensitivityPreset.__dataclass_fields__}
     sens = replace(sens, **{k: v for k, v in clean.items()
                             if k in sens_fields})
+    mp = MODE_PRESETS[mode]
     cfg = PipelineConfig(
-        mode=MODE_PRESETS[mode], sensitivity=sens, language=language,
-        task=task, model_override=model, batch_size=batch_size,
+        mode=mp, sensitivity=sens, language=language,
+        task=task, model_override=model,
+        batch_size=batch_size if batch_size is not None
+        else mp.default_batch,
     )
     if "vad_backend" in clean:
         cfg.mode = replace(cfg.mode, vad_backend=clean["vad_backend"])

@@ -104,7 +104,7 @@ APP_HTML = """<!DOCTYPE html>
       <div><label>Translate provider</label>
         <select id="translate"></select></div>
       <div><label>Batch size</label>
-        <input id="batch_size" type="number" value="8"></div>
+        <input id="batch_size" type="number" value="32"></div>
     </div>
     <div class="chk"><input type="checkbox" id="ensemble">
       <span>Two-pass ensemble</span></div>

@@ -263,7 +263,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--model", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--language", default="ja")
-    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="default: the mode's measured optimum")
     p.add_argument("--devices", type=int, default=None,
                    help="chips to shard over (default all; 1=single)")
     p.add_argument("--coalesce-ms", type=float, default=30.0,
