@@ -147,6 +147,13 @@ def test_http_endpoints():
         st = json.loads(urllib.request.urlopen(
             f"http://127.0.0.1:{port}/api/status").read())
         assert st["status"] in ("idle", "running", "done")
+        # update checker (reference webview_gui check_for_updates):
+        # offline here → checked False, version still reported
+        v = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/version").read())
+        assert v["version"] and v["checked"] is False
+        assert v["update_available"] is False
+        assert "loadVersion" in html      # SPA surfaces it
     finally:
         server.shutdown()
 

@@ -68,7 +68,9 @@ APP_HTML = """<!DOCTYPE html>
 </head>
 <body>
 <header><h1>WhisperJAV <span style="color:#3b82f6">TPU</span>
-  <span id="status"></span></h1></header>
+  <span id="status"></span>
+  <span id="version" style="float:right;font-size:12px;color:#8b8f98"></span>
+</h1></header>
 <main>
   <div class="panel">
     <label>Input files / directory / glob</label>
@@ -156,6 +158,12 @@ APP_HTML = """<!DOCTYPE html>
 <script>
 const $ = id => document.getElementById(id);
 let next = 0, selJob = null, followRunning = true, timer = null;
+
+async function loadVersion() {
+  const v = await (await fetch('/api/version')).json();
+  $('version').textContent = 'v' + v.version +
+    (v.update_available ? ' — update available: ' + v.latest : '');
+}
 
 async function loadSchema() {
   const s = await (await fetch('/api/schema')).json();
@@ -337,6 +345,7 @@ $('delete_preset').onclick = async () => {
 };
 
 loadSchema();
+loadVersion();
 loadPresets();
 refresh();
 </script>

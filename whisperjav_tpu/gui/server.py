@@ -439,6 +439,18 @@ class Handler(BaseHTTPRequestHandler):
             m = UserConfigManager()
             self._json({name: m.get_preset(name)
                         for name in m.list_presets()})
+        elif url.path == "/api/version":
+            # update checker (reference: webview_gui update_checker +
+            # api.py check_for_updates); graceful when offline
+            from whisperjav_tpu.utils.version_check import (
+                check_latest_version,
+            )
+            from whisperjav_tpu.version import __version__
+            info = check_latest_version(timeout=3.0)
+            self._json({"version": __version__,
+                        "latest": info["latest"] if info else None,
+                        "update_available": bool(info and info["newer"]),
+                        "checked": info is not None})
         elif url.path == "/api/logs":
             q = parse_qs(url.query)
             since = int(q.get("since", ["0"])[0])
