@@ -130,7 +130,7 @@ def run_cli(wav: Path, out_dir: Path, mode: str, model: str | None,
 
 def run_serve(wav: Path, mode: str, model: str | None,
               batch_size: int | None, budget_s: float,
-              audio_s: float) -> dict | None:
+              audio_s: float, concurrency: int = 1) -> dict | None:
     """File-level RTF through ``whisperjav-serve``'s hot engine.
 
     Starts the server as a child, waits for /health (patient: the claim
@@ -138,6 +138,10 @@ def run_serve(wav: Path, mode: str, model: str | None,
     — CLAUDE.md), then POSTs the SAME file twice: request 1 pays the
     residual compiles, request 2 is the resident-engine steady state a
     multi-file user lives in. Returns both walls.
+
+    ``concurrency`` > 1 adds a third phase: N simultaneous requests
+    against the warm engine with the window coalescer live — the
+    sustained-serving number (aggregate audio-seconds / wall).
     """
     import http.client
     import socket
@@ -147,7 +151,8 @@ def run_serve(wav: Path, mode: str, model: str | None,
         port = s.getsockname()[1]
     cmd = [sys.executable, "-m", "whisperjav_tpu.serve",
            "--port", str(port), "--mode", mode,
-           "--coalesce-ms", "0"]           # single client: no linger
+           # single client: no linger; concurrent phase wants coalescing
+           "--coalesce-ms", "30" if concurrency > 1 else "0"]
     if model:
         cmd += ["--model", model]
     if batch_size:
@@ -200,7 +205,7 @@ def run_serve(wav: Path, mode: str, model: str | None,
             return None
         wall_cold, _ = request(budget_s)
         wall_warm, data = request(budget_s)
-        return {
+        out = {
             "serve_cold_wall_s": round(wall_cold, 2),
             "serve_warm_wall_s": round(wall_warm, 2),
             "serve_cold_rtf_x": round(audio_s / wall_cold, 2),
@@ -208,6 +213,37 @@ def run_serve(wav: Path, mode: str, model: str | None,
             "serve_stats": data.get("stats", {}),
             "serve_cues": len(data.get("cues", [])),
         }
+        if concurrency > 1:
+            walls: list = [None] * concurrency
+            errs: list = [None] * concurrency
+
+            def worker(i: int) -> None:
+                try:
+                    walls[i], _ = request(budget_s)
+                except Exception as e:  # noqa: BLE001 — record, don't die
+                    errs[i] = str(e)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(concurrency)]
+            t0 = time.time()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            agg_wall = time.time() - t0
+            ok = [w for w in walls if w is not None]
+            out.update({
+                "concurrency": concurrency,
+                "concurrent_ok": len(ok),
+                "concurrent_errors": [e for e in errs if e],
+                "concurrent_agg_wall_s": round(agg_wall, 2),
+                # sustained serving throughput: total audio decoded
+                # per wall second across all in-flight requests
+                "concurrent_agg_rtf_x": round(
+                    len(ok) * audio_s / agg_wall, 2),
+                "concurrent_request_wall_s": [round(w, 2) for w in ok],
+            })
+        return out
     finally:
         proc.terminate()
         try:
@@ -233,6 +269,9 @@ def main(argv=None) -> int:
     ap.add_argument("--stall-s", type=float, default=1500.0)
     ap.add_argument("--keep", action="store_true",
                     help="keep the synthesized WAV + outputs")
+    ap.add_argument("--concurrency", type=int, default=1,
+                    help="with --serve: N simultaneous warm requests "
+                         "(window-coalescer sustained-serving phase)")
     ap.add_argument("--serve", action="store_true",
                     help="measure through whisperjav-serve's hot engine "
                          "instead of the CLI (cold + warm request walls)")
@@ -254,7 +293,8 @@ def main(argv=None) -> int:
 
     if args.serve:
         res = run_serve(wav, args.mode, args.model, args.batch_size,
-                        args.budget_s, audio_s)
+                        args.budget_s, audio_s,
+                        concurrency=args.concurrency)
         if res is None:
             print("e2e_bench: serve run failed", file=sys.stderr,
                   flush=True)
